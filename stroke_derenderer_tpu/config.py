@@ -1,0 +1,114 @@
+"""Configuration dataclasses.
+
+Mirrors the reference's two-level config scheme (module defaults overridden
+by a JSON config file, reference evaluate_binarize.py:19-45 and
+evaluate_strokes.py:24-50) with typed dataclasses. Defaults are identical to
+the reference constants so a reference ``configs_binarizer.json`` /
+``configs_strokes.json`` drops in unchanged.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from pathlib import Path
+from typing import Sequence
+
+# Reference defaults (evaluate_binarize.py:19-24).
+_BIN_HEIGHT = 128
+_BIN_WIDTH = 128 * 3
+_BIN_CHANNELS = 3
+_BIN_OVERLAP = 128 // 2
+_BIN_THR = 0.5
+_BIN_MINIBATCH = 8
+
+# Reference defaults (evaluate_strokes.py:24-31, 50).
+_IMG_SIZE = 224
+_MARGIN = 2
+_MAX_LENGTH = 384
+_IMAGENET_MEAN = (0.485, 0.456, 0.406)
+_IMAGENET_STD = (0.229, 0.224, 0.225)
+_ENC_IMAGE_SIZE = 14
+
+# Stroke token grammar (evaluate_strokes.py:31).
+PAD, BOS, EOS = 0, 1, 2
+
+
+def _load_params(configs_path: str | Path | None, params: dict) -> dict:
+    """JSON file entries override kwargs, which override defaults — the same
+    precedence as the reference (``params.update(params_configs)`` at
+    evaluate_binarize.py:30-34)."""
+    merged = dict(params)
+    if configs_path is not None:
+        with open(configs_path) as f:
+            merged.update(json.load(f))
+    return merged
+
+
+@dataclasses.dataclass(frozen=True)
+class BinarizerConfig:
+    """Binarization pipeline + attention-UNet architecture config."""
+
+    # Pipeline (reference names, reference defaults).
+    height: int = _BIN_HEIGHT
+    width: int = _BIN_WIDTH
+    channels: int = _BIN_CHANNELS
+    overlap: int = _BIN_OVERLAP
+    bin_thr: float = _BIN_THR
+    minibatch: int = _BIN_MINIBATCH
+
+    # Architecture (new: the reference ships the net as an opaque ONNX file).
+    features: tuple[int, ...] = (32, 64, 128, 256)
+    bottleneck: int = 512
+    norm: str = "batch"  # "batch" | "group" | "none"
+
+    # TPU execution.
+    compute_dtype: str = "bfloat16"
+    # Pad tile-batch sizes up to a multiple of this to bound recompiles.
+    batch_bucket: int = 8
+
+    @classmethod
+    def from_json(cls, configs_path: str | Path | None = None, **params) -> "BinarizerConfig":
+        merged = _load_params(configs_path, params)
+        known = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in merged.items() if k in known})
+
+
+@dataclasses.dataclass(frozen=True)
+class StrokesConfig:
+    """Stroke-estimation pipeline + captioner architecture config."""
+
+    # Pipeline (reference names, reference defaults).
+    image_size: int = _IMG_SIZE
+    margin: int = _MARGIN
+    max_length: int = _MAX_LENGTH
+    mean: Sequence[float] = _IMAGENET_MEAN
+    std: Sequence[float] = _IMAGENET_STD
+    encode_image_size: int = _ENC_IMAGE_SIZE
+
+    # Architecture (new). The vertex vocabulary is interleaved (x, y) pairs:
+    # token 3+v encodes x=v for v<image_size and y=v-image_size otherwise, so
+    # vocab = 3 specials + 2*image_size = 451 (evaluate_strokes.py:120-133).
+    encoder_arch: str = "resnet50"  # "resnet18" | "resnet50" | "resnet101" | "tiny"
+    embed_dim: int = 512
+    attention_dim: int = 512
+    decoder_dim: int = 512
+    projection_dim: int = 0  # 0 = no projection (reference projection.onnx is optional)
+
+    # TPU execution.
+    compute_dtype: str = "bfloat16"
+    glyph_bucket: int = 8  # pad glyph-batch to a multiple of this
+
+    @property
+    def vocab_size(self) -> int:
+        return 3 + 2 * self.image_size
+
+    @property
+    def tgt_shape(self) -> tuple[int, int]:
+        return (self.image_size, self.image_size)
+
+    @classmethod
+    def from_json(cls, configs_path: str | Path | None = None, **params) -> "StrokesConfig":
+        merged = _load_params(configs_path, params)
+        known = {f.name for f in dataclasses.fields(cls)}
+        return cls(**{k: v for k, v in merged.items() if k in known})

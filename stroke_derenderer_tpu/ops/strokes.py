@@ -1,0 +1,123 @@
+"""Stroke token grammar and polyline post-processing.
+
+The stroke model emits token sequences over a 451-symbol vocabulary:
+PAD/BOS/EOS = 0/1/2, then interleaved vertex tokens where value v = token-3
+encodes an x coordinate if v < image_size and a y coordinate (y = v -
+image_size) otherwise (reference evaluate_strokes.py:94-135). This module
+decodes those sequences into polylines and applies the geometric
+post-processing chain: clip -> inverse transform -> global endpoint sort
+(reference partition.py:143-237 and evaluate_strokes.py:227-247).
+
+Quirks preserved on purpose:
+  * odd-length vertex runs drop their last element (evaluate_strokes.py:129-131);
+  * clipping tests X against img_shape[0] and Y against img_shape[1] with
+    *inclusive* upper bounds (partition.py:230-233);
+  * the endpoint sort keys on coordinates cast to int32 (truncation toward
+    zero — the reference builds a structured int32 array from floats,
+    partition.py:165-182); ties are resolved stably here (the reference's
+    introsort is unstable on exact ties — the only deviation).
+
+These run on host: they produce the ragged Python/JSON stroke structures of
+the output contract, after all device compute is done.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from stroke_derenderer_tpu.config import BOS, EOS, PAD
+
+Stroke = tuple[np.ndarray, np.ndarray]
+
+
+def tokens_to_strokes(token_seq: np.ndarray, image_size: int) -> list[Stroke]:
+    """Decode one token sequence into (X, Y) polylines
+    (evaluate_strokes.py:94-135)."""
+    toks = np.asarray(token_seq)
+    # Sequence splits at BOS boundaries; EOS terminates everything after it.
+    eos_pos = np.flatnonzero(toks == EOS)
+    if eos_pos.size:
+        toks = toks[:eos_pos[0]]  # the EOS itself just flushes, like BOS
+    runs: list[list[int]] = []
+    cur: list[int] = []
+    for t in toks.tolist():
+        if t == BOS:
+            runs.append(cur)
+            cur = []
+        elif t == PAD:
+            continue
+        else:
+            cur.append(t - EOS - 1)
+    runs.append(cur)
+    strokes: list[Stroke] = []
+    for seq in runs:
+        if not seq:
+            continue
+        if len(seq) % 2 != 0:
+            seq = seq[:-1]
+        x = np.array(seq[::2])
+        y = np.array(seq[1::2]) - image_size
+        strokes.append((x, y))
+    return strokes
+
+
+def clip_strokes(strokes: list[Stroke], img_shape: tuple[int, int]) -> list[Stroke]:
+    """Drop vertices outside [0, img_shape] per coordinate
+    (partition.py:219-237)."""
+    out = []
+    for x, y in strokes:
+        n = min(x.size, y.size)
+        x, y = x[:n], y[:n]
+        keep = ((x >= 0) & (x <= img_shape[0]) & (y >= 0) & (y <= img_shape[1]))
+        out.append((x[keep], y[keep]))
+    return out
+
+
+def inverse_transform(strokes: list[Stroke], trans1, ratio, trans2) -> list[Stroke]:
+    """Undo pad -> resize -> crop: Pinv = (P - t2) / ratio + t1
+    (partition.py:143-156)."""
+    (x1, y1), (x2, y2) = trans1, trans2
+    return [((x - x2) / ratio + x1, (y - y2) / ratio + y1) for x, y in strokes]
+
+
+def sort_strokes(strokes: list[Stroke]) -> list[Stroke]:
+    """Order strokes left-to-right / top-to-bottom by their first-seen
+    endpoint in an (x, y) lexicographic sort over all endpoints, reversing a
+    stroke when its tail endpoint was seen first (partition.py:159-216)."""
+    # QoL deviation: drop empty strokes (clipping can fully empty one; the
+    # reference would raise IndexError on its endpoints, partition.py:171).
+    strokes = [(x, y) for x, y in strokes if np.asarray(x).size and np.asarray(y).size]
+    if not strokes:
+        return []
+    heads = np.array([(x[0], y[0]) for x, y in strokes], dtype=np.float64)
+    tails = np.array([(x[-1], y[-1]) for x, y in strokes], dtype=np.float64)
+    # Endpoint 2n is the head of stroke n, endpoint 2n+1 its tail.
+    pts = np.empty((2 * len(strokes), 2), dtype=np.float64)
+    pts[0::2] = heads
+    pts[1::2] = tails
+    keys = pts.astype(np.int32)  # reference casts to int32 (truncation)
+    order = np.lexsort((keys[:, 1], keys[:, 0]))
+
+    seen = np.zeros(len(strokes), dtype=bool)
+    out: list[Stroke] = []
+    for e in order:
+        s, rem = divmod(int(e), 2)
+        if seen[s]:
+            continue
+        seen[s] = True
+        x, y = strokes[s]
+        if rem == 1:
+            x, y = x[::-1], y[::-1]
+        out.append((x, y))
+    return out
+
+
+def strokes_to_json(strokes: list[Stroke], scale: float = 1.0) -> list:
+    """Scale and convert to the output JSON structure [[X_list, Y_list], ...]
+    (reference main.py:81-88, 122-131)."""
+    out = []
+    for x, y in strokes:
+        n = min(np.asarray(x).size, np.asarray(y).size)
+        out.append(([float(v) for v in np.asarray(x)[:n] * scale],
+                    [float(v) for v in np.asarray(y)[:n] * scale]))
+    return out

@@ -1,0 +1,40 @@
+"""Test configuration: force the CPU backend with 8 virtual devices so
+multi-chip sharding tests run anywhere (SURVEY.md §4). Must run before jax
+imports anywhere in the test session."""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import sys  # noqa: E402
+from pathlib import Path  # noqa: E402
+
+# Make the reference's pure-numpy helper modules importable as golden
+# oracles for parity tests (they depend only on numpy/cv2).
+_REF = Path("/root/reference")
+if _REF.exists() and str(_REF) not in sys.path:
+    sys.path.insert(0, str(_REF))
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(1234)
+
+
+def has_reference() -> bool:
+    try:
+        import derenderer.helper.split  # noqa: F401
+        return True
+    except Exception:
+        return False
+
+
+requires_reference = pytest.mark.skipif(
+    not has_reference(), reason="reference repo not importable")

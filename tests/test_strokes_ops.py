@@ -1,0 +1,114 @@
+"""Token grammar / stroke post-processing parity vs the reference."""
+
+import numpy as np
+import pytest
+
+from stroke_derenderer_tpu.config import BOS, EOS, PAD
+from stroke_derenderer_tpu.ops import strokes as sops
+
+from tests.conftest import requires_reference
+
+
+def _random_tokens(rng, length=120, image_size=224):
+    toks = rng.integers(3, 3 + 2 * image_size, length).astype(np.int64)
+    # Sprinkle specials.
+    for _ in range(6):
+        toks[rng.integers(0, length)] = BOS
+    for _ in range(4):
+        toks[rng.integers(0, length)] = PAD
+    toks[rng.integers(length // 2, length)] = EOS
+    return toks
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_grammar_matches_reference_semantics(seed):
+    """Mirror of the reference decode loop (evaluate_strokes.py:94-135),
+    re-derived independently as the oracle here."""
+    rng = np.random.default_rng(seed)
+    toks = _random_tokens(rng)
+
+    # Oracle: literal reading of the reference grammar.
+    seqs, seq = [], []
+    for t in toks:
+        if t == BOS:
+            seqs.append(seq)
+            seq = []
+        elif t == EOS:
+            seqs.append(seq)
+            break
+        elif t == PAD:
+            continue
+        else:
+            seq.append(int(t) - 3)
+    else:
+        seqs.append(seq)
+    seqs = [s for s in seqs if s]
+    expected = []
+    for s in seqs:
+        if len(s) % 2:
+            s = s[:-1]
+        expected.append((np.array(s[::2]), np.array(s[1::2]) - 224))
+
+    got = sops.tokens_to_strokes(toks, 224)
+    assert len(got) == len(expected)
+    for (gx, gy), (ex, ey) in zip(got, expected):
+        assert np.array_equal(gx, ex) and np.array_equal(gy, ey)
+
+
+def test_grammar_no_eos_flushes_tail():
+    toks = np.array([BOS, 10, 250, 11, 251])
+    out = sops.tokens_to_strokes(toks, 224)
+    assert len(out) == 1
+    assert np.array_equal(out[0][0], [7, 8])
+    assert np.array_equal(out[0][1], [247 - 224, 248 - 224])
+
+
+@requires_reference
+@pytest.mark.parametrize("seed", range(8))
+def test_clip_matches_reference(seed):
+    from derenderer.helper.partition import clip_strokes as ref_clip
+    rng = np.random.default_rng(seed)
+    strokes = [(rng.uniform(-40, 260, 15), rng.uniform(-40, 260, 15)) for _ in range(5)]
+    ours = sops.clip_strokes(strokes, (224, 224))
+    ref = ref_clip(strokes, (224, 224))
+    for (ox, oy), (rx, ry) in zip(ours, ref):
+        assert np.array_equal(ox, rx) and np.array_equal(oy, ry)
+
+
+@requires_reference
+@pytest.mark.parametrize("seed", range(8))
+def test_inverse_transform_matches_reference(seed):
+    from derenderer.helper.partition import inverse_transform as ref_inv
+    rng = np.random.default_rng(seed)
+    strokes = [(rng.uniform(0, 224, 9), rng.uniform(0, 224, 9)) for _ in range(4)]
+    t1, t2, ratio = (3.0, 7.0), (1.5, 2.5), 0.43
+    ours = sops.inverse_transform(strokes, t1, ratio, t2)
+    ref = ref_inv(strokes, t1, ratio, t2)
+    for (ox, oy), (rx, ry) in zip(ours, ref):
+        np.testing.assert_allclose(ox, rx)
+        np.testing.assert_allclose(oy, ry)
+
+
+@requires_reference
+@pytest.mark.parametrize("seed", range(10))
+def test_sort_matches_reference(seed):
+    from derenderer.helper.partition import sort_strokes as ref_sort
+    rng = np.random.default_rng(seed)
+    # Distinct int endpoints avoid the reference's unstable-sort ties.
+    strokes = []
+    used = set()
+    for _ in range(7):
+        n = rng.integers(2, 10)
+        x = rng.uniform(0, 500, n)
+        y = rng.uniform(0, 128, n)
+        key = (int(x[0]), int(y[0]), int(x[-1]), int(y[-1]))
+        if key in used:
+            continue
+        used.add(key)
+        strokes.append((x, y))
+    ours = sops.sort_strokes(strokes)
+    ref = ref_sort(strokes)
+    assert len(ours) == len(ref)
+    for (ox, oy), (rx, ry) in zip(ours, ref):
+        np.testing.assert_allclose(ox, rx)
+        np.testing.assert_allclose(oy, ry)
