@@ -1,0 +1,147 @@
+"""CLI driver with the reference ``main.py`` contract.
+
+Same flags (-models / -input / --output), same outputs
+(<name>_BINARIZED.png + <name>_STROKES.json), same per-image timing prints
+(reference main.py:20-30, 91-136). Extras:
+
+  * ``--init-models DIR`` materializes a randomly-initialized model
+    directory (no pretrained weights ship in this environment);
+  * ``--no-strokes`` runs binarization only (reference ``strokes`` kwarg);
+  * per-image failures are logged and skipped instead of aborting the batch
+    (QoL improvement over the reference, SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+from pathlib import Path
+
+import numpy as np
+
+from stroke_derenderer_tpu.config import BinarizerConfig, StrokesConfig
+from stroke_derenderer_tpu.io import load_image, save_image, save_json
+from stroke_derenderer_tpu.ops.normalize import minmax_normalize_np
+from stroke_derenderer_tpu.ops.strokes import strokes_to_json
+from stroke_derenderer_tpu.pipeline import Binarizer, StrokeEstimator
+
+
+def parse_args(argv=None):
+    parser = argparse.ArgumentParser(
+        description="TPU-native handwriting derenderer")
+    parser.add_argument("-models", required=False, default=None,
+                        help="Path to the folder containing all model files.")
+    parser.add_argument("-input", default="./images/input",
+                        help="Path to the folder containing all input images.")
+    parser.add_argument("-output", "--output", default="./images/output",
+                        help="Output directory to save all image outputs.")
+    parser.add_argument("--no-strokes", action="store_true",
+                        help="Binarize only.")
+    parser.add_argument("--init-models", default=None, metavar="DIR",
+                        help="Write a randomly-initialized model dir and exit.")
+    parser.add_argument("--fused", action="store_true",
+                        help="Fully fused per-width binarize programs.")
+    return parser.parse_args(argv)
+
+
+def initialize_sessions(folderpath, fused: bool = False):
+    """Build both pipelines from a model directory (reference main.py:33-64).
+
+    Missing weight files fall back to random init with a warning so the
+    pipeline stays runnable end-to-end.
+    """
+    folder = Path(folderpath) if folderpath else None
+
+    def _opt(name):
+        p = folder / name if folder else None
+        return p if (p and p.exists()) else None
+
+    bin_cfg_path = _opt("configs_binarizer.json")
+    bin_cfg = BinarizerConfig.from_json(bin_cfg_path)
+    bin_weights = _opt("binarizer.msgpack")
+    if folder and not bin_weights:
+        print(f"[warn] {folder}/binarizer.msgpack not found; using random init")
+    binarizer = Binarizer(bin_cfg, weights_path=bin_weights)
+
+    se_cfg_path = _opt("configs_strokes.json")
+    se_cfg = StrokesConfig.from_json(se_cfg_path)
+    paths = {}
+    enc_w, dec_w = _opt("strokes_encoder.msgpack"), _opt("strokes_decoder.msgpack")
+    if enc_w and dec_w:
+        paths = {"encoder": enc_w, "decoder": dec_w}
+        proj_w = _opt("strokes_projection.msgpack")
+        if proj_w:
+            paths["projection"] = proj_w
+    elif folder:
+        print(f"[warn] stroke model weights not found in {folder}; using random init")
+    estimator = StrokeEstimator(se_cfg, weights_paths=paths or None)
+    binarizer.fused = fused
+    return binarizer, estimator
+
+
+def run(imgs, binarizer: Binarizer, estimator: StrokeEstimator | None,
+        output_folder, strokes: bool = True) -> int:
+    """Per-image binarize -> save -> stroke-estimate -> rescale -> save loop
+    (reference main.py:91-136). Returns the number of images processed."""
+    out_dir = Path(output_folder)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    done = 0
+    for img, filename in imgs:
+        try:
+            height = img.shape[0]
+
+            start_bin = time.time()
+            img_bin = binarizer.binarize_image(img)
+            mask = img_bin[:, :, 0] > (255 * binarizer.config.bin_thr)
+            comp_bin_time = round(time.time() - start_bin, 4)
+
+            bin_path = str(out_dir / f"{filename}_BINARIZED.png")
+            save_image(minmax_normalize_np(mask.astype(np.uint8)), bin_path,
+                       grayscale=True)
+            print(f"{filename} took {comp_bin_time} seconds to binarize. "
+                  f"Result is saved to {bin_path}")
+
+            if strokes and estimator is not None:
+                ratio = height / img_bin.shape[0]
+                start_se = time.time()
+                stroke_list = estimator.process_image(mask, max_length=None)
+                comp_se_time = round(time.time() - start_se, 4)
+                st_path = str(out_dir / f"{filename}_STROKES.json")
+                save_json(strokes_to_json(stroke_list, scale=ratio), st_path)
+                print(f"{filename} took {comp_se_time} seconds to estimate "
+                      f"strokes. Result is saved to {st_path}")
+            done += 1
+        except Exception as exc:  # per-image failures are non-fatal
+            print(f"[error] {filename}: {type(exc).__name__}: {exc}")
+    return done
+
+
+def load_images(img_filepaths):
+    """(paths) -> [(image, stem), ...] (reference main.py:67-78).
+    Unreadable files are skipped with a log line instead of aborting."""
+    out = []
+    for p in img_filepaths:
+        try:
+            out.append((load_image(str(p)), Path(p).stem))
+        except Exception as exc:
+            print(f"[error] cannot load {p}: {type(exc).__name__}: {exc}")
+    return out
+
+
+def entrypoint(argv=None):
+    args = parse_args(argv)
+    if args.init_models:
+        from stroke_derenderer_tpu.weights import materialize_model_dir
+        materialize_model_dir(args.init_models)
+        print(f"initialized model dir at {args.init_models}")
+        return 0
+
+    img_filepaths = sorted(Path(args.input).glob("*.png"))
+    imgs = load_images(img_filepaths)
+    binarizer, estimator = initialize_sessions(args.models, fused=args.fused)
+    run(imgs, binarizer, estimator, args.output, strokes=not args.no_strokes)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(entrypoint())

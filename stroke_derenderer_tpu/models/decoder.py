@@ -1,0 +1,139 @@
+"""Attentive autoregressive LSTM stroke decoder.
+
+The reference splits a show-attend-tell-style decoder across four ONNX
+graphs driven by a host loop — ``decoder_init_hc`` (mean-pooled encoding ->
+initial LSTM state), ``decoder_embedding`` (token -> embedding),
+``decoder_iter`` (one additive-attention + LSTM + vocab-projection step),
+re-invoked per token with host-side shrinking-batch index bookkeeping
+(evaluate_strokes.py:250-302; up to 768 ONNX calls per image).
+
+Here the decoder is one flax module and greedy decoding is ONE device-side
+``lax.while_loop``:
+
+  * the encoder-side attention projection is computed once before the loop
+    (the reference recomputes it inside every decoder_iter call);
+  * finished rows are masked rather than compacted — identical outputs,
+    since retired rows keep emitting PAD which the grammar skips
+    (evaluate_strokes.py:117-118, SURVEY.md §7 hard parts);
+  * the loop exits early once every row has emitted EOS, like the
+    reference's ``inds_inc.size == 0`` break (evaluate_strokes.py:296-297).
+
+Step math (show-attend-tell): additive attention
+``softmax(full_att(relu(enc_proj + dec_proj(h))))`` over the 196 encoder
+positions, a sigmoid gate ``f_beta(h)`` on the attended vector, an LSTM cell
+over [embedding; attended], and a linear vocab head on h.
+"""
+
+from __future__ import annotations
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from stroke_derenderer_tpu.config import BOS, EOS, PAD
+
+
+class AttentiveDecoder(nn.Module):
+    vocab_size: int = 451
+    embed_dim: int = 512
+    attention_dim: int = 512
+    decoder_dim: int = 512
+    encoder_dim: int = 2048  # feature dim of the encoder sequence fed in
+    dtype: jnp.dtype = jnp.bfloat16
+
+    def setup(self):
+        self.embedding = nn.Embed(self.vocab_size, self.embed_dim,
+                                  dtype=self.dtype, name="embedding")
+        self.enc_att = nn.Dense(self.attention_dim, dtype=self.dtype, name="enc_att")
+        self.dec_att = nn.Dense(self.attention_dim, dtype=self.dtype, name="dec_att")
+        self.full_att = nn.Dense(1, dtype=self.dtype, name="full_att")
+        self.init_h = nn.Dense(self.decoder_dim, dtype=self.dtype, name="init_h")
+        self.init_c = nn.Dense(self.decoder_dim, dtype=self.dtype, name="init_c")
+        self.f_beta = nn.Dense(self.encoder_dim, dtype=self.dtype, name="f_beta")
+        self.lstm = nn.LSTMCell(self.decoder_dim, dtype=self.dtype, name="lstm")
+        self.fc = nn.Dense(self.vocab_size, dtype=jnp.float32, name="fc")
+
+    def project_encoding(self, enc_seq):
+        """(B, P, E) -> (B, P, A): hoisted out of the decode loop."""
+        return self.enc_att(enc_seq)
+
+    def init_state(self, enc_seq):
+        """Initial (h, c) from the mean-pooled encoding
+        (reference decoder_init_hc, evaluate_strokes.py:265-266)."""
+        mean_enc = jnp.mean(enc_seq, axis=1)
+        return self.init_h(mean_enc), self.init_c(mean_enc)
+
+    def embed(self, tokens):
+        return self.embedding(tokens)
+
+    def step(self, enc_seq, enc_proj, emb, h, c):
+        """One decode step -> (logits_f32, h, c, alpha)."""
+        att = self.full_att(nn.relu(enc_proj + self.dec_att(h)[:, None, :]))
+        alpha = jax.nn.softmax(att.astype(jnp.float32), axis=1)
+        awe = jnp.sum(alpha * enc_seq.astype(jnp.float32), axis=1)
+        gate = nn.sigmoid(self.f_beta(h))
+        awe = (gate.astype(jnp.float32) * awe).astype(self.dtype)
+        (c, h), _ = self.lstm((c, h), jnp.concatenate([emb, awe], axis=-1))
+        logits = self.fc(h.astype(jnp.float32))
+        return logits, h, c, alpha[..., 0]
+
+    def __call__(self, enc_seq, tokens):
+        """Teacher-forced training forward: (B, P, E), (B, T) int tokens ->
+        (B, T, vocab) logits. Uses lax.scan over time with the same cell as
+        greedy decode."""
+        enc_proj = self.project_encoding(enc_seq)
+        h, c = self.init_state(enc_seq)
+        embs = self.embedding(tokens)  # (B, T, D)
+
+        def body(mdl, carry, emb_t):
+            h, c = carry
+            logits, h, c, _ = mdl.step(enc_seq, enc_proj, emb_t, h, c)
+            return (h, c), logits
+
+        scan = nn.scan(body, variable_broadcast="params",
+                       split_rngs={"params": False}, in_axes=0, out_axes=0)
+        (_, _), logits = scan(self, (h, c), jnp.swapaxes(embs, 0, 1))
+        return jnp.swapaxes(logits, 0, 1)
+
+
+def greedy_decode(decoder: AttentiveDecoder, variables, enc_seq,
+                  max_length: int) -> jnp.ndarray:
+    """Batched greedy decode as one on-device while_loop.
+
+    enc_seq: (B, P, E) float. Returns (B, max_length) int32 predictions with
+    the reference's exact write semantics: at step t every still-active row
+    records its argmax token (including the terminating EOS); retired rows
+    stay PAD (evaluate_strokes.py:274-302).
+    """
+    b = enc_seq.shape[0]
+    apply = lambda method, *a: decoder.apply(variables, *a, method=method)
+
+    enc_proj = apply(AttentiveDecoder.project_encoding, enc_seq)
+    h, c = apply(AttentiveDecoder.init_state, enc_seq)
+    emb = apply(AttentiveDecoder.embed, jnp.full((b,), BOS, jnp.int32))
+    preds0 = jnp.full((b, max_length), PAD, jnp.int32)
+    active0 = jnp.ones((b,), bool)
+
+    def cond(state):
+        t, _, _, _, _, active = state
+        return jnp.logical_and(t < max_length, jnp.any(active))
+
+    def body(state):
+        t, preds, emb, h, c, active = state
+        logits, h2, c2, _ = apply(AttentiveDecoder.step, enc_seq, enc_proj, emb, h, c)
+        tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        preds = preds.at[:, t].set(jnp.where(active, tokens, PAD))
+        next_active = jnp.logical_and(active, tokens != EOS)
+        emb2 = apply(AttentiveDecoder.embed, tokens)
+        # Frozen rows keep their old state; their outputs are masked anyway,
+        # but keeping state bit-stable makes the loop insensitive to retired
+        # rows' trajectories.
+        keep = active[:, None]
+        h = jnp.where(keep, h2, h)
+        c = jnp.where(keep, c2, c)
+        emb = jnp.where(keep, emb2, emb)
+        return t + 1, preds, emb, h, c, next_active
+
+    _, preds, *_ = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), preds0, emb, h, c, active0))
+    return preds

@@ -1,0 +1,130 @@
+"""Binarization pipeline: resize -> tile -> attention-UNet -> threshold -> stitch.
+
+Replaces the reference BinarizationSession (evaluate_binarize.py:26-150).
+Where the reference loops 8-tile minibatches through ONNX Runtime per image
+(evaluate_binarize.py:85-115), here the whole tile batch runs as ONE XLA
+program; the /255 scaling, the UNet forward, the 0.5 threshold and the
+0/255 uint8 quantization all fuse on device.
+
+Two execution modes:
+
+  * **bucketed** (default): tiles are cut/stitched host-side (cheap memcpy
+    geometry) and the device program sees a (T_bucket, H, W, 3) batch where
+    T_bucket is the tile count rounded up to ``config.batch_bucket`` — one
+    compile per bucket regardless of image width.
+  * **fused**: cut + forward + threshold + stitch in a single jit,
+    specialized per TilePlan — fastest for fixed-width production streams.
+
+Output contract matches the reference: a (height, W_rs, 1) uint8 image in
+{0, 255} at the height-normalized resolution (binarize_image,
+evaluate_binarize.py:143-150).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stroke_derenderer_tpu.config import BinarizerConfig
+from stroke_derenderer_tpu.ops.resize import resize_to_height_np
+from stroke_derenderer_tpu.ops.tiling import (
+    TilePlan, cut_tiles, cut_tiles_np, plan_tiles, stitch_tiles, stitch_tiles_np,
+)
+from stroke_derenderer_tpu.weights.store import (
+    binarizer_template, build_binarizer_model, init_binarizer_variables,
+    load_variables,
+)
+
+
+def _round_up(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
+class Binarizer:
+    def __init__(self, config: BinarizerConfig | None = None, variables=None,
+                 weights_path=None, seed: int = 0, fused: bool = False):
+        self.config = config or BinarizerConfig()
+        if variables is not None:
+            self.model = build_binarizer_model(self.config)
+            self.variables = variables
+        elif weights_path is not None:
+            self.model, template = binarizer_template(self.config)
+            self.variables = load_variables(template, weights_path)
+        else:
+            self.model, self.variables = init_binarizer_variables(self.config, seed)
+        self.fused = fused
+
+        @jax.jit
+        def _forward_mask(variables, tiles_u8):
+            """(T, H, W, C) uint8 -> (T, H, W, 1) uint8 {0,255}."""
+            x = tiles_u8.astype(jnp.float32) / 255.0
+            probs = self.model.apply(variables, x)
+            return jnp.where(probs > self.config.bin_thr,
+                             jnp.uint8(255), jnp.uint8(0))
+
+        self._forward_mask = _forward_mask
+
+    # ------------------------------------------------------------------
+    @functools.lru_cache(maxsize=64)
+    def _fused_program(self, plan: TilePlan):
+        cfg = self.config
+
+        @jax.jit
+        def run(variables, img_u8):
+            tiles = cut_tiles(img_u8, plan)
+            x = tiles.astype(jnp.float32) / 255.0
+            probs = self.model.apply(variables, x)
+            mask = jnp.where(probs > cfg.bin_thr, jnp.uint8(255), jnp.uint8(0))
+            return stitch_tiles(mask, plan)
+
+        return run
+
+    # ------------------------------------------------------------------
+    def binarize_tiles(self, tiles_u8: np.ndarray) -> np.ndarray:
+        """Device forward on a pre-cut uint8 tile batch (bucket-padded)."""
+        t = tiles_u8.shape[0]
+        tb = _round_up(t, self.config.batch_bucket)
+        if tb != t:
+            pad = np.zeros((tb - t,) + tiles_u8.shape[1:], tiles_u8.dtype)
+            tiles_u8 = np.concatenate([tiles_u8, pad], axis=0)
+        out = self._forward_mask(self.variables, tiles_u8)
+        return np.asarray(out[:t])
+
+    def binarize_image(self, image: np.ndarray) -> np.ndarray:
+        """(H0, W0, C) uint8 -> (height, W_rs, 1) uint8 {0,255}."""
+        cfg = self.config
+        img_rs = resize_to_height_np(np.asarray(image), cfg.height)
+        if img_rs.ndim == 2:
+            img_rs = img_rs[:, :, None]
+        plan = plan_tiles(img_rs.shape[1], cfg.width, cfg.overlap)
+        if self.fused:
+            return np.asarray(self._fused_program(plan)(self.variables, img_rs))
+        tiles = cut_tiles_np(img_rs, plan)
+        masks = self.binarize_tiles(tiles)
+        return stitch_tiles_np(masks, plan)
+
+    def binarize_images(self, images) -> list[np.ndarray]:
+        """Batch over images: all tiles of all images run in one device
+        batch (cross-image batching the reference can't do)."""
+        cfg = self.config
+        plans, all_tiles, counts = [], [], []
+        for image in images:
+            img_rs = resize_to_height_np(np.asarray(image), cfg.height)
+            if img_rs.ndim == 2:
+                img_rs = img_rs[:, :, None]
+            plan = plan_tiles(img_rs.shape[1], cfg.width, cfg.overlap)
+            tiles = cut_tiles_np(img_rs, plan)
+            plans.append(plan)
+            all_tiles.append(tiles)
+            counts.append(tiles.shape[0])
+        if not plans:
+            return []
+        masks = self.binarize_tiles(np.concatenate(all_tiles, axis=0))
+        out, ofs = [], 0
+        for plan, n in zip(plans, counts):
+            out.append(stitch_tiles_np(masks[ofs:ofs + n], plan))
+            ofs += n
+        return out

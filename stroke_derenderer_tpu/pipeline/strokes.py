@@ -1,0 +1,172 @@
+"""Stroke-estimation pipeline: segment -> group -> encode -> decode -> strokes.
+
+Replaces the reference StrokeEstimationSession (evaluate_strokes.py:33-304).
+Host does the irreducibly ragged geometry (connected components via the
+native C++ kernel, interval grouping, per-group crop/pad bookkeeping); the
+device runs encoder + greedy decode as ONE program over the whole glyph
+batch — versus the reference's per-token pair of ONNX calls on a host-
+compacted batch (up to 768 ORT invocations per image,
+evaluate_strokes.py:279-302, SURVEY.md §3.3).
+
+The glyph batch is padded to ``config.glyph_bucket`` with blank crops so
+the compiled program is reused across images; padded rows decode garbage
+that is simply dropped (predictions are sliced back to the real count,
+mirroring the reference's N = min(tokens, partitions) at
+evaluate_strokes.py:236).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stroke_derenderer_tpu.config import StrokesConfig
+from stroke_derenderer_tpu.models import encode_postprocess, greedy_decode
+from stroke_derenderer_tpu.ops import grouping
+from stroke_derenderer_tpu.ops.normalize import imagenet_normalize_np, minmax_normalize_np
+from stroke_derenderer_tpu.ops.strokes import (
+    clip_strokes, inverse_transform, sort_strokes, tokens_to_strokes,
+)
+from stroke_derenderer_tpu.weights.store import (
+    build_strokes_models, init_strokes_variables, load_variables,
+)
+
+
+def _round_up(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
+class StrokeEstimator:
+    def __init__(self, config: StrokesConfig | None = None, variables=None,
+                 weights_paths=None, seed: int = 0):
+        """``variables``: optional (enc_vars, dec_vars, proj_vars) tuple;
+        ``weights_paths``: optional dict with keys encoder/decoder[/projection]."""
+        self.config = config or StrokesConfig()
+        self.encoder, self.decoder = build_strokes_models(self.config)
+        self.proj = None
+        if self.config.projection_dim:
+            import flax.linen as nn
+            self.proj = nn.Dense(self.config.projection_dim,
+                                 dtype=jnp.dtype(self.config.compute_dtype))
+
+        if variables is not None:
+            self.enc_vars, self.dec_vars, self.proj_vars = variables
+        elif weights_paths is not None:
+            _, _, enc_t, dec_t, proj_t = _templates(self.config)
+            self.enc_vars = load_variables(enc_t, weights_paths["encoder"])
+            self.dec_vars = load_variables(dec_t, weights_paths["decoder"])
+            self.proj_vars = (load_variables(proj_t, weights_paths["projection"])
+                              if "projection" in weights_paths else None)
+        else:
+            (_, _, self.enc_vars, self.dec_vars,
+             self.proj_vars) = init_strokes_variables(self.config, seed)
+
+    # ------------------------------------------------------------------
+    @functools.cached_property
+    def _estimate(self):
+        cfg = self.config
+
+        @functools.partial(jax.jit, static_argnames=("max_length",))
+        def run(enc_vars, dec_vars, proj_vars, images, max_length):
+            fm = self.encoder.apply(enc_vars, images)          # (B, 7, 7, C)
+            seq = encode_postprocess(fm, cfg.encode_image_size)  # (B, 196, C)
+            if self.proj is not None:
+                seq = self.proj.apply(proj_vars, seq)
+            return greedy_decode(self.decoder, dec_vars, seq, max_length)
+
+        return run
+
+    def estimate_strokes(self, images: np.ndarray, max_length: int | None = None
+                         ) -> np.ndarray:
+        """(N, 224, 224, 3) float32 -> (N, max_length) int32 token matrix."""
+        max_length = max_length or self.config.max_length
+        n = images.shape[0]
+        nb = _round_up(max(n, 1), self.config.glyph_bucket)
+        if nb != n:
+            pad = np.zeros((nb - n,) + images.shape[1:], images.dtype)
+            images = np.concatenate([images, pad], axis=0)
+        preds = self._estimate(self.enc_vars, self.dec_vars, self.proj_vars,
+                               images, max_length)
+        return np.asarray(preds[:n])
+
+    # ------------------------------------------------------------------
+    def get_partitions(self, img_bin: np.ndarray) -> list[dict]:
+        """Binarized (H, W) image -> list of partition dicts with the model
+        input crop and the transform bookkeeping
+        (reference evaluate_strokes.py:186-224)."""
+        cfg = self.config
+        img_bin = np.asarray(img_bin)
+        if img_bin.ndim == 3:
+            img_bin = img_bin[:, :, 0]
+        islands = grouping.get_binarized_islands(
+            img_bin.astype(np.uint8), margin=cfg.margin)
+        if not islands:
+            return []
+        img_h = img_bin.shape[0]
+        groups = grouping.group_islands(islands, (img_h, img_h))
+
+        partitions = []
+        for canvas, (top, left) in groups:
+            norm = minmax_normalize_np(canvas)
+            padded, ratio, (x2, y2) = grouping.resize_and_pad_np(
+                norm, cfg.tgt_shape, margin=1, pad_value=0)
+            # Second minmax is a no-op on already-0/255 data but kept for
+            # contract parity (evaluate_strokes.py:58-69 normalizes again).
+            model_in = imagenet_normalize_np(
+                minmax_normalize_np(padded), cfg.mean, cfg.std)
+            partitions.append({
+                "image": padded,
+                "image_input": model_in,                # (224, 224, 3) f32 NHWC
+                "translate1": (left, top),              # (x, y)
+                "ratio": ratio,
+                "translate2": (x2, y2),                 # (x, y)
+            })
+        return partitions
+
+    def process_tokens(self, tokens: np.ndarray, partitions: list[dict]):
+        """Token matrix + partition transforms -> globally sorted strokes
+        (reference evaluate_strokes.py:227-247)."""
+        cfg = self.config
+        strokes = []
+        n = min(tokens.shape[0], len(partitions))
+        for i in range(n):
+            part = partitions[i]
+            s = tokens_to_strokes(tokens[i], cfg.image_size)
+            s = clip_strokes(s, cfg.tgt_shape)
+            s = inverse_transform(s, part["translate1"], part["ratio"],
+                                  part["translate2"])
+            strokes += s
+        return sort_strokes(strokes)
+
+    def process_image(self, img_bin: np.ndarray, max_length: int | None = None):
+        """Binarized image -> ordered strokes in the binarized image's
+        coordinate frame (reference evaluate_strokes.py:163-183)."""
+        partitions = self.get_partitions(img_bin)
+        if not partitions:
+            return []
+        batch = np.stack([p["image_input"] for p in partitions]).astype(np.float32)
+        preds = self.estimate_strokes(batch, max_length=max_length)
+        return self.process_tokens(preds, partitions)
+
+
+def _templates(config: StrokesConfig):
+    """Abstract variable trees for deserialization."""
+    encoder, decoder = build_strokes_models(config)
+    rng = jax.random.PRNGKey(0)
+    img = jnp.zeros((1, config.image_size, config.image_size, 3), jnp.float32)
+    enc_t = jax.eval_shape(encoder.init, rng, img)
+    n_pos = config.encode_image_size ** 2
+    enc_dim = config.projection_dim or encoder.out_features
+    dec_t = jax.eval_shape(decoder.init, rng,
+                           jnp.zeros((1, n_pos, enc_dim)),
+                           jnp.zeros((1, 4), jnp.int32))
+    proj_t = None
+    if config.projection_dim:
+        import flax.linen as nn
+        proj = nn.Dense(config.projection_dim)
+        proj_t = jax.eval_shape(proj.init, rng,
+                                jnp.zeros((1, n_pos, encoder.out_features)))
+    return encoder, decoder, enc_t, dec_t, proj_t

@@ -19,6 +19,12 @@ _REF = Path("/root/reference")
 if _REF.exists() and str(_REF) not in sys.path:
     sys.path.insert(0, str(_REF))
 
+import jax  # noqa: E402
+
+# The axon TPU plugin can override JAX_PLATFORMS during import; the config
+# update is authoritative.
+jax.config.update("jax_platforms", "cpu")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
