@@ -1,0 +1,115 @@
+"""End-to-end benchmark: line images/sec through the two-stage pipeline.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Workload: synthetic handwriting line images (~200x1800 px, the reference's
+target shape class) through binarize (resize -> tile -> UNet -> threshold ->
+stitch) and stroke estimation (CC -> group -> encode -> 384-step greedy
+decode -> polyline post-processing) at the default full-size configs.
+
+vs_baseline is the measured speedup over the same pipeline on the host CPU
+backend (the reference runs ONNX on CPU, BASELINE.md: published numbers are
+absent; the north-star target is >=20x ONNX-CPU images/sec on one v5e chip).
+The CPU denominator was measured on this machine with --measure-cpu and is
+pinned below; rerun with --measure-cpu to refresh it.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+
+import numpy as np
+
+# Measured on this host via `python bench.py --measure-cpu` (same models,
+# same workload, jax CPU backend). Refresh after model-architecture changes.
+CPU_BASELINE_IPS = 0.0531  # images/sec (2026-08-16, jax 0.9.0 CPU, BLAS resize)
+
+N_IMAGES = 8
+DECODE_STEPS = 384
+
+
+def make_images(n: int, h: int = 200, w: int = 1800):
+    imgs = []
+    for i in range(n):
+        img = np.full((h, w, 3), 255, np.uint8)
+        rng = np.random.default_rng(i)
+        for k in range(10):
+            t = np.linspace(0, 4 * np.pi, 500)
+            xs = (60 + k * (w - 120) // 10 + 35 * np.cos(t * (1 + k % 3))).astype(int)
+            ys = (h // 2 + (h // 3) * np.sin(t + rng.uniform(0, 3))).astype(int)
+            img[np.clip(ys, 0, h - 1), np.clip(xs, 0, w - 1)] = 0
+            img[np.clip(ys + 1, 0, h - 1), np.clip(xs, 0, w - 1)] = 0
+        imgs.append(img)
+    return imgs
+
+
+def build():
+    from stroke_derenderer_tpu.config import BinarizerConfig, StrokesConfig
+    from stroke_derenderer_tpu.pipeline import Binarizer, StrokeEstimator
+
+    binarizer = Binarizer(BinarizerConfig())
+    estimator = StrokeEstimator(StrokesConfig())
+    return binarizer, estimator
+
+
+def measure(platform: str | None = None, n_images: int = N_IMAGES,
+            repeats: int = 3) -> float:
+    import jax
+    if platform:
+        jax.config.update("jax_platforms", platform)
+    from stroke_derenderer_tpu.ops.resize import resize_to_height_np
+
+    imgs = make_images(n_images)
+    binarizer, estimator = build()
+
+    # Stroke stage runs on the clean input-derived mask: a random-init UNet
+    # emits noise, which would make segmentation cost nondeterministic. The
+    # mask has the same island/group structure real weights would produce.
+    clean_masks = [resize_to_height_np(im, 128)[:, :, 0] < 128 for im in imgs]
+
+    # Warmup / compile (same batch shapes as the timed loop).
+    binarizer.binarize_images(imgs)
+    estimator.process_images(clean_masks, max_length=DECODE_STEPS)
+
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.time()
+        binarizer.binarize_images(imgs)
+        estimator.process_images(clean_masks, max_length=DECODE_STEPS)
+        best = min(best, (time.time() - t0) / len(imgs))
+    return 1.0 / best
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--measure-cpu", action="store_true",
+                    help="Measure the CPU denominator and exit.")
+    args = ap.parse_args()
+
+    if args.measure_cpu:
+        ips = measure("cpu", n_images=2, repeats=1)
+        print(json.dumps({"cpu_images_per_sec": round(ips, 4)}))
+        return
+
+    ips = measure()  # default platform: the real TPU chip
+    base = CPU_BASELINE_IPS
+    if base is None:
+        print("[bench] no pinned CPU baseline; measuring live...",
+              file=sys.stderr)
+        import subprocess
+        out = subprocess.run([sys.executable, __file__, "--measure-cpu"],
+                             capture_output=True, text=True)
+        base = json.loads(out.stdout.strip().splitlines()[-1])["cpu_images_per_sec"]
+    print(json.dumps({
+        "metric": "e2e line images/sec/chip (binarize + 384-step stroke decode)",
+        "value": round(ips, 4),
+        "unit": "images/sec",
+        "vs_baseline": round(ips / base, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -60,12 +60,15 @@ class BinarizerConfig:
     # Architecture (new: the reference ships the net as an opaque ONNX file).
     features: tuple[int, ...] = (32, 64, 128, 256)
     bottleneck: int = 512
-    norm: str = "batch"  # "batch" | "group" | "none"
+    norm: str = "group"  # "group" (default: pure apply) | "batch" | "none"
 
     # TPU execution.
     compute_dtype: str = "bfloat16"
     # Pad tile-batch sizes up to a multiple of this to bound recompiles.
     batch_bucket: int = 8
+
+    def __post_init__(self):
+        object.__setattr__(self, "features", tuple(self.features))
 
     @classmethod
     def from_json(cls, configs_path: str | Path | None = None, **params) -> "BinarizerConfig":
@@ -98,6 +101,10 @@ class StrokesConfig:
     # TPU execution.
     compute_dtype: str = "bfloat16"
     glyph_bucket: int = 8  # pad glyph-batch to a multiple of this
+
+    def __post_init__(self):
+        object.__setattr__(self, "mean", tuple(self.mean))
+        object.__setattr__(self, "std", tuple(self.std))
 
     @property
     def vocab_size(self) -> int:

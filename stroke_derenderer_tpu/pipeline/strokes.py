@@ -151,6 +151,24 @@ class StrokeEstimator:
         preds = self.estimate_strokes(batch, max_length=max_length)
         return self.process_tokens(preds, partitions)
 
+    def process_images(self, imgs_bin, max_length: int | None = None):
+        """Cross-image batching: the glyph crops of EVERY image run through
+        one encoder + decode program (the reference is strictly per-image).
+        Returns one stroke list per input image."""
+        all_parts = [self.get_partitions(m) for m in imgs_bin]
+        counts = [len(p) for p in all_parts]
+        if sum(counts) == 0:
+            return [[] for _ in imgs_bin]
+        batch = np.concatenate(
+            [np.stack([p["image_input"] for p in parts])
+             for parts in all_parts if parts]).astype(np.float32)
+        preds = self.estimate_strokes(batch, max_length=max_length)
+        out, ofs = [], 0
+        for parts, n in zip(all_parts, counts):
+            out.append(self.process_tokens(preds[ofs:ofs + n], parts) if n else [])
+            ofs += n
+        return out
+
 
 def _templates(config: StrokesConfig):
     """Abstract variable trees for deserialization."""

@@ -1,0 +1,75 @@
+"""Sharded train steps (pjit over a ('dp', 'tp') mesh).
+
+One step trains the full two-stage derenderer: the attention-UNet binarizer
+on (tile, mask) pairs and the encoder+attentive-decoder captioner on
+(glyph crop, token sequence) pairs. Sharding:
+
+  * all batch axes             P('dp')            — data parallel over ICI
+  * conv kernels / vocab head  P(..., 'tp')       — tensor parallel where the
+    dimension divides; XLA/GSPMD inserts the collectives
+  * optimizer state follows the param layout (same specs)
+
+The steps are plain jitted functions over explicitly device_put inputs —
+the canonical pjit recipe (mesh -> annotate -> let XLA insert collectives).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from stroke_derenderer_tpu.train.losses import binarize_loss, caption_loss
+
+
+@dataclasses.dataclass
+class TrainState:
+    params: Any
+    opt_state: Any
+    step: int = 0
+
+
+def _make_update(loss_of_params: Callable, tx: optax.GradientTransformation):
+    def update(params, opt_state, *batch):
+        loss, grads = jax.value_and_grad(loss_of_params)(params, *batch)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+    return update
+
+
+def make_binarizer_train_step(model, tx: optax.GradientTransformation):
+    """Returns jittable ``step(params, opt_state, tiles, masks)``.
+    tiles: (B, H, W, C) float in [0,1]; masks: (B, H, W, 1) float {0,1}."""
+    def loss_fn(params, tiles, masks):
+        probs = model.apply({"params": params}, tiles)
+        return binarize_loss(probs, masks)
+    return _make_update(loss_fn, tx)
+
+
+def make_captioner_train_step(encoder, decoder, tx: optax.GradientTransformation,
+                              enc_image_size: int = 14, proj=None):
+    """Returns jittable ``step(params, opt_state, images, tokens_in,
+    tokens_out)`` where params = {'encoder': ..., 'decoder': ...[, 'proj']}.
+    Teacher forcing: tokens_in are shifted-right targets."""
+    from stroke_derenderer_tpu.models import encode_postprocess
+
+    def loss_fn(params, images, tokens_in, tokens_out):
+        fm = encoder.apply({"params": params["encoder"]}, images)
+        seq = encode_postprocess(fm, enc_image_size)
+        if proj is not None:
+            seq = proj.apply({"params": params["proj"]}, seq)
+        logits = decoder.apply({"params": params["decoder"]}, seq, tokens_in)
+        return caption_loss(logits, tokens_out)
+    return _make_update(loss_fn, tx)
+
+
+def make_sharded_train_step(step_fn, mesh, donate: bool = True):
+    """jit a train step over a mesh: params/opt_state keep their (already
+    device_put) shardings; batch tensors arrive sharded on 'dp'. Leaving
+    in_shardings unspecified lets jit infer from argument placement — the
+    layouts are set once by parallel.shard_params / batch_sharding."""
+    return jax.jit(step_fn, donate_argnums=(0, 1) if donate else ())

@@ -1,0 +1,122 @@
+"""Pipeline-level tests with tiny model configs (CPU backend)."""
+
+import json
+
+import numpy as np
+import pytest
+
+from stroke_derenderer_tpu.config import BinarizerConfig, StrokesConfig
+from stroke_derenderer_tpu.pipeline import Binarizer, StrokeEstimator
+
+TINY_BIN = BinarizerConfig(features=(8, 16), bottleneck=32,
+                           compute_dtype="float32")
+TINY_SE = StrokesConfig(encoder_arch="tiny", embed_dim=16, attention_dim=16,
+                        decoder_dim=16, max_length=24,
+                        compute_dtype="float32")
+
+
+@pytest.fixture(scope="module")
+def binarizer():
+    return Binarizer(TINY_BIN)
+
+
+@pytest.fixture(scope="module")
+def estimator():
+    return StrokeEstimator(TINY_SE)
+
+
+def _line_image(w=900, h=200):
+    img = np.full((h, w, 3), 255, np.uint8)
+    for k in range(5):
+        t = np.linspace(0, 4 * np.pi, 300)
+        xs = (60 + k * (w - 120) // 5 + 30 * np.cos(t)).astype(int)
+        ys = (h // 2 + 50 * np.sin(t)).astype(int)
+        img[np.clip(ys, 0, h - 1), np.clip(xs, 0, w - 1)] = 0
+    return img
+
+
+def test_binarize_image_contract(binarizer):
+    out = binarizer.binarize_image(_line_image())
+    h = binarizer.config.height
+    assert out.shape == (h, int(900 * h / 200), 1)
+    assert out.dtype == np.uint8
+    assert set(np.unique(out)) <= {0, 255}
+
+
+def test_binarize_fused_equals_bucketed(binarizer):
+    img = _line_image(w=700)
+    a = binarizer.binarize_image(img)
+    binarizer.fused = True
+    try:
+        b = binarizer.binarize_image(img)
+    finally:
+        binarizer.fused = False
+    assert np.array_equal(a, b)
+
+
+def test_binarize_images_matches_single(binarizer):
+    imgs = [_line_image(w=500), _line_image(w=900)]
+    batched = binarizer.binarize_images(imgs)
+    singles = [binarizer.binarize_image(im) for im in imgs]
+    for x, y in zip(batched, singles):
+        assert np.array_equal(x, y)
+
+
+def test_binarize_narrow_image(binarizer):
+    img = _line_image(w=150)  # resized width < tile width -> single tile
+    out = binarizer.binarize_image(img)
+    assert out.shape[1] == int(150 * binarizer.config.height / 200)
+
+
+def test_get_partitions_structure(estimator):
+    mask = _line_image()[:, :, 0] < 128
+    parts = estimator.get_partitions(mask.astype(np.uint8))
+    assert parts, "expected at least one partition"
+    s = estimator.config.image_size
+    for p in parts:
+        assert p["image_input"].shape == (s, s, 3)
+        assert p["image_input"].dtype == np.float32
+        assert len(p["translate1"]) == 2 and len(p["translate2"]) == 2
+        assert p["ratio"] > 0
+
+
+def test_process_image_returns_sorted_strokes(estimator):
+    mask = _line_image()[:, :, 0] < 128
+    strokes = estimator.process_image(mask, max_length=12)
+    for x, y in strokes:
+        assert x.shape == y.shape
+    # JSON-serializable via the output helper.
+    from stroke_derenderer_tpu.ops.strokes import strokes_to_json
+    json.dumps(strokes_to_json(strokes, 1.5))
+
+
+def test_process_image_empty_mask(estimator):
+    assert estimator.process_image(np.zeros((128, 400), np.uint8)) == []
+
+
+def test_estimate_strokes_bucketing_invariance(estimator):
+    """Padding the glyph batch to the bucket must not change real rows."""
+    rng = np.random.default_rng(0)
+    imgs = rng.normal(size=(3, 224, 224, 3)).astype(np.float32)
+    p3 = estimator.estimate_strokes(imgs, max_length=10)
+    p8 = estimator.estimate_strokes(
+        np.concatenate([imgs, np.zeros((5, 224, 224, 3), np.float32)]),
+        max_length=10)
+    assert np.array_equal(p3, p8[:3])
+
+
+def test_weights_roundtrip(tmp_path):
+    from stroke_derenderer_tpu.weights import materialize_model_dir
+    from stroke_derenderer_tpu.cli import initialize_sessions
+
+    materialize_model_dir(tmp_path, TINY_BIN, TINY_SE)
+    binarizer, estimator = initialize_sessions(tmp_path)
+    assert binarizer.config.features == (8, 16)
+    assert estimator.config.encoder_arch == "tiny"
+    img = _line_image(w=400)
+    out = binarizer.binarize_image(img)
+    assert out.dtype == np.uint8
+
+    # Same weights -> same outputs across two independent loads.
+    binarizer2, _ = initialize_sessions(tmp_path)
+    assert np.array_equal(out, binarizer2.binarize_image(img))
