@@ -1,0 +1,176 @@
+"""Synthetic handwriting generator: strokes -> raster -> training pairs.
+
+The reference trains out-of-repo ("All model training is done with Pytorch",
+its README:18) and ships no data tooling. This module closes the loop: it
+samples smooth random pen strokes, rasterizes them, and emits
+
+  * (tile, mask) pairs for binarizer training (the input is a grayish
+    "photo" rendering of the mask with noise/background, the target the
+    clean mask), and
+  * (glyph crop, token sequence) pairs for captioner training, where the
+    token encoding is the exact inverse of the decode grammar
+    (evaluate_strokes.py:94-135): per stroke the interleaved vertex tokens
+    3+x then 3+image_size+y, strokes separated by BOS, terminated by EOS.
+
+Everything is pure numpy on host — data generation feeds the device, it
+doesn't run on it.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from stroke_derenderer_tpu.config import BOS, EOS, PAD
+
+
+def random_strokes(rng: np.random.Generator, n_strokes: int,
+                   shape: tuple[int, int], n_ctrl: int = 5,
+                   points_per_stroke: int = 24) -> list:
+    """Smooth random strokes inside ``shape`` = (h, w): Catmull-Rom-ish
+    resampling of a few control points."""
+    h, w = shape
+    strokes = []
+    for _ in range(n_strokes):
+        cx = np.sort(rng.uniform(0, w, n_ctrl))
+        cy = rng.uniform(0.15 * h, 0.85 * h, n_ctrl)
+        t = np.linspace(0, 1, points_per_stroke)
+        ts = np.linspace(0, 1, n_ctrl)
+        # Smooth interpolation through control points.
+        x = np.interp(t, ts, cx)
+        y = np.interp(t, ts, cy)
+        k = min(5, points_per_stroke - 1) | 1
+        kernel = np.ones(k) / k
+        x = np.convolve(np.pad(x, k // 2, mode="edge"), kernel, "valid")
+        y = np.convolve(np.pad(y, k // 2, mode="edge"), kernel, "valid")
+        strokes.append((np.clip(x, 0, w - 1), np.clip(y, 0, h - 1)))
+    return strokes
+
+
+def rasterize_strokes(strokes, shape: tuple[int, int],
+                      thickness: int = 2) -> np.ndarray:
+    """Paint polylines into a (h, w) uint8 {0,1} mask by dense segment
+    sampling (vectorized; no cv2)."""
+    h, w = shape
+    mask = np.zeros((h, w), np.uint8)
+    for x, y in strokes:
+        x, y = np.asarray(x, np.float64), np.asarray(y, np.float64)
+        if x.size < 2:
+            continue
+        seg = np.hypot(np.diff(x), np.diff(y))
+        n = int(np.ceil(seg.sum() * 2)) + x.size
+        ts = np.concatenate([[0], np.cumsum(seg)])
+        ts = ts / max(ts[-1], 1e-9)
+        # Dense samples plus the exact vertices, so every stroke point's
+        # rounded pixel is painted.
+        t = np.union1d(np.linspace(0, 1, n), ts)
+        xs = np.interp(t, ts, x)
+        ys = np.interp(t, ts, y)
+        xi = np.clip(np.round(xs).astype(int), 0, w - 1)
+        yi = np.clip(np.round(ys).astype(int), 0, h - 1)
+        mask[yi, xi] = 1
+    if thickness > 1:
+        from scipy import ndimage
+        mask = ndimage.binary_dilation(
+            mask, iterations=thickness - 1).astype(np.uint8)
+    return mask
+
+
+def tokens_from_strokes(strokes, image_size: int, max_length: int) -> np.ndarray:
+    """Inverse of the decode grammar: x -> 3+x, y -> 3+image_size+y,
+    BOS between strokes, EOS at the end, PAD-filled to max_length.
+    Coordinates are rounded and clipped to [0, image_size)."""
+    toks: list[int] = []
+    for i, (x, y) in enumerate(strokes):
+        if i > 0:
+            toks.append(BOS)
+        xi = np.clip(np.round(np.asarray(x)), 0, image_size - 1).astype(int)
+        yi = np.clip(np.round(np.asarray(y)), 0, image_size - 1).astype(int)
+        for a, b in zip(xi, yi):
+            toks.append(3 + int(a))
+            toks.append(3 + image_size + int(b))
+    toks.append(EOS)
+    toks = toks[:max_length]
+    toks[-1] = EOS  # guarantee termination even when truncated
+    out = np.full((max_length,), PAD, np.int32)
+    out[:len(toks)] = toks
+    return out
+
+
+def _photo_render(mask: np.ndarray, rng: np.random.Generator) -> np.ndarray:
+    """Mask -> noisy grayscale 'scan' image (uint8 RGB), dark ink on light
+    paper with illumination gradient and speckle."""
+    h, w = mask.shape
+    paper = rng.uniform(200, 245) + rng.uniform(-15, 15) * np.linspace(
+        0, 1, w)[None, :]
+    img = paper + rng.normal(0, 6, (h, w))
+    ink = rng.uniform(10, 70)
+    img = np.where(mask > 0, ink + rng.normal(0, 10, (h, w)), img)
+    img = np.clip(img, 0, 255).astype(np.uint8)
+    return np.repeat(img[:, :, None], 3, axis=2)
+
+
+def make_line_sample(rng: np.random.Generator, height: int = 128,
+                     width: int = 1152, n_strokes: int = 12):
+    """(rgb line image, clean {0,1} mask) for binarizer training."""
+    strokes = random_strokes(rng, n_strokes, (height, width))
+    mask = rasterize_strokes(strokes, (height, width),
+                             thickness=int(rng.integers(1, 4)))
+    return _photo_render(mask, rng), mask
+
+
+def make_glyph_sample(rng: np.random.Generator, image_size: int = 224,
+                      max_length: int = 384, mean=None, std=None):
+    """(model input (S,S,3) f32, tokens (max_length,) i32) for captioner
+    training. The crop is ImageNet-normalized exactly like inference
+    (pipeline/strokes.py)."""
+    from stroke_derenderer_tpu.config import StrokesConfig
+    from stroke_derenderer_tpu.ops.normalize import (
+        imagenet_normalize_np, minmax_normalize_np,
+    )
+
+    cfg = StrokesConfig()
+    mean = mean if mean is not None else cfg.mean
+    std = std if std is not None else cfg.std
+    n = int(rng.integers(1, 5))
+    strokes = random_strokes(rng, n, (image_size, image_size))
+    mask = rasterize_strokes(strokes, (image_size, image_size), thickness=2)
+    img = minmax_normalize_np(mask.astype(np.uint8))
+    model_in = imagenet_normalize_np(img, mean, std)
+    toks = tokens_from_strokes(strokes, image_size, max_length)
+    return model_in, toks
+
+
+def tile_batches(rng: np.random.Generator, batch_size: int, height: int = 128,
+                 width: int = 384, n_batches: int | None = None):
+    """Yield (tiles f32 [0,1] (B,H,W,3), masks f32 (B,H,W,1)) forever (or
+    n_batches times)."""
+    i = 0
+    while n_batches is None or i < n_batches:
+        imgs, masks = [], []
+        for _ in range(batch_size):
+            img, mask = make_line_sample(rng, height, width,
+                                         n_strokes=int(rng.integers(3, 8)))
+            imgs.append(img.astype(np.float32) / 255.0)
+            masks.append(mask.astype(np.float32)[:, :, None])
+        yield np.stack(imgs), np.stack(masks)
+        i += 1
+
+
+def glyph_batches(rng: np.random.Generator, batch_size: int,
+                  image_size: int = 224, seq_len: int = 64,
+                  n_batches: int | None = None):
+    """Yield (crops (B,S,S,3), tok_in (B,T), tok_out (B,T)): teacher-forced
+    next-token pairs where tok_in starts at BOS."""
+    i = 0
+    while n_batches is None or i < n_batches:
+        crops, seqs = [], []
+        for _ in range(batch_size):
+            c, t = make_glyph_sample(rng, image_size, seq_len + 1)
+            crops.append(c)
+            seqs.append(t)
+        seqs = np.stack(seqs)
+        tok_in = np.concatenate(
+            [np.full((batch_size, 1), BOS, np.int32), seqs[:, :seq_len - 1]], 1)
+        tok_out = seqs[:, :seq_len]
+        yield np.stack(crops), tok_in, tok_out
+        i += 1

@@ -1,0 +1,3 @@
+from stroke_derenderer_tpu.eval.metrics import (  # noqa: F401
+    binarization_f1, stroke_dtw, strokes_chamfer, evaluate_pair,
+)

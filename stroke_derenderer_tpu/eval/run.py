@@ -1,0 +1,78 @@
+"""Evaluation runner: score a model directory on synthetic ground truth.
+
+    python -m stroke_derenderer_tpu.eval.run --models ./models_demo --n 8
+
+Generates synthetic line images with known masks and strokes
+(data/synthetic.py), runs the full two-stage pipeline, and reports
+binarization F1 + stroke DTW/chamfer (the BASELINE.md parity metrics; the
+reference ships no evaluation tooling at all).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+import numpy as np
+
+from stroke_derenderer_tpu.cli import initialize_sessions
+from stroke_derenderer_tpu.eval import binarization_f1, stroke_dtw, strokes_chamfer
+
+
+def evaluate_full(models_dir, n: int = 8, seed: int = 0,
+                  width: int = 1152) -> dict:
+    """Full metrics: binarization F1 on rendered lines, stroke DTW/chamfer on
+    glyph-sized samples with known ground-truth polylines."""
+    from stroke_derenderer_tpu.data.synthetic import (
+        _photo_render, random_strokes, rasterize_strokes,
+    )
+
+    rng = np.random.default_rng(seed)
+    binarizer, estimator = initialize_sessions(models_dir)
+    h = binarizer.config.height
+
+    f1s = []
+    for _ in range(n):
+        strokes = random_strokes(rng, int(rng.integers(3, 8)), (h, width))
+        mask = rasterize_strokes(strokes, (h, width),
+                                 thickness=int(rng.integers(1, 4)))
+        img = _photo_render(mask, rng)
+        out = binarizer.binarize_image(img)
+        pred = out[:, :, 0] > (255 * binarizer.config.bin_thr)
+        f1s.append(binarization_f1(pred, mask > 0))
+
+    dtws, chamfers = [], []
+    for _ in range(n):
+        strokes = random_strokes(rng, int(rng.integers(1, 4)), (h, h))
+        mask = rasterize_strokes(strokes, (h, h), thickness=2)
+        pred_strokes = estimator.process_image(mask > 0)
+        d = stroke_dtw(pred_strokes, strokes)
+        c = strokes_chamfer(pred_strokes, strokes)
+        dtws.append(d if np.isfinite(d) else None)
+        chamfers.append(c if np.isfinite(c) else None)
+
+    def _mean(xs):
+        xs = [x for x in xs if x is not None]
+        return float(np.mean(xs)) if xs else None
+
+    return {
+        "n": n,
+        "binarization_f1": float(np.mean(f1s)),
+        "stroke_dtw": _mean(dtws),
+        "stroke_dtw_failures": sum(x is None for x in dtws),
+        "stroke_chamfer": _mean(chamfers),
+    }
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--models", required=True)
+    ap.add_argument("--n", type=int, default=8)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args(argv)
+    print(json.dumps(evaluate_full(args.models, args.n, args.seed)))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

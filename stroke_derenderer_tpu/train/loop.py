@@ -1,0 +1,160 @@
+"""Training loop driver: train the binarizer and/or captioner on synthetic
+handwriting, with checkpoint/resume and model-dir export.
+
+Usage (also exposed as ``python -m stroke_derenderer_tpu.train.loop``):
+
+    python -m stroke_derenderer_tpu.train.loop --model binarizer \
+        --steps 500 --batch 16 --out ./models
+
+Exports weights into the inference model-dir layout (weights/store.py) so
+the CLI picks them up directly. The reference offers no training path at
+all ("All model training is done with Pytorch", its README:18).
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+from pathlib import Path
+
+import jax
+import numpy as np
+import optax
+
+from stroke_derenderer_tpu.config import BinarizerConfig, StrokesConfig
+from stroke_derenderer_tpu.data import glyph_batches, tile_batches
+from stroke_derenderer_tpu.train.checkpoint import (
+    latest_checkpoint, restore_checkpoint, save_checkpoint,
+)
+from stroke_derenderer_tpu.train.steps import (
+    make_binarizer_train_step, make_captioner_train_step,
+)
+from stroke_derenderer_tpu.utils import get_logger
+from stroke_derenderer_tpu.weights.store import (
+    build_binarizer_model, init_binarizer_variables, init_strokes_variables,
+    save_variables,
+)
+
+log = get_logger("train")
+
+
+def train_binarizer(config: BinarizerConfig, steps: int, batch_size: int,
+                    out_dir: str | Path, lr: float = 3e-4, seed: int = 0,
+                    ckpt_every: int = 200, log_every: int = 25):
+    model, variables = init_binarizer_variables(config, seed)
+    params = variables["params"]
+    tx = optax.adamw(optax.warmup_cosine_decay_schedule(
+        0.0, lr, min(100, steps // 10 + 1), steps))
+    opt_state = tx.init(params)
+    start_step = 0
+
+    ckpt_dir = Path(out_dir) / "ckpt_binarizer"
+    last = latest_checkpoint(ckpt_dir)
+    if last is not None:
+        start_step, params, opt_state = restore_checkpoint(last, params, opt_state)
+        log.info("resumed binarizer from %s (step %d)", last, start_step)
+
+    step_fn = jax.jit(make_binarizer_train_step(model, tx))
+    rng = np.random.default_rng(seed)
+    data = tile_batches(rng, batch_size, config.height, config.width)
+
+    t0 = time.time()
+    for i, (tiles, masks) in enumerate(data, start=start_step):
+        if i >= steps:
+            break
+        params, opt_state, loss = step_fn(params, opt_state, tiles, masks)
+        if (i + 1) % log_every == 0:
+            log.info("binarizer step %d loss %.4f (%.2f steps/s)",
+                     i + 1, float(loss), log_every / max(time.time() - t0, 1e-9))
+            t0 = time.time()
+        if (i + 1) % ckpt_every == 0 or i + 1 == steps:
+            save_checkpoint(ckpt_dir, i + 1, params, opt_state)
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    save_variables({"params": params}, out / "binarizer.msgpack")
+    import dataclasses, json
+    (out / "configs_binarizer.json").write_text(
+        json.dumps(dataclasses.asdict(config), indent=1))
+    log.info("binarizer exported to %s", out)
+    return params
+
+
+def train_captioner(config: StrokesConfig, steps: int, batch_size: int,
+                    out_dir: str | Path, lr: float = 3e-4, seed: int = 0,
+                    seq_len: int = 96, ckpt_every: int = 200,
+                    log_every: int = 25):
+    encoder, decoder, enc_vars, dec_vars, _ = init_strokes_variables(config, seed)
+    params = {"encoder": enc_vars["params"], "decoder": dec_vars["params"]}
+    tx = optax.adamw(optax.warmup_cosine_decay_schedule(
+        0.0, lr, min(100, steps // 10 + 1), steps))
+    opt_state = tx.init(params)
+    start_step = 0
+
+    ckpt_dir = Path(out_dir) / "ckpt_captioner"
+    last = latest_checkpoint(ckpt_dir)
+    if last is not None:
+        start_step, params, opt_state = restore_checkpoint(last, params, opt_state)
+        log.info("resumed captioner from %s (step %d)", last, start_step)
+
+    step_fn = jax.jit(make_captioner_train_step(
+        encoder, decoder, tx, enc_image_size=config.encode_image_size))
+    rng = np.random.default_rng(seed)
+    data = glyph_batches(rng, batch_size, config.image_size, seq_len)
+
+    t0 = time.time()
+    for i, (crops, tok_in, tok_out) in enumerate(data, start=start_step):
+        if i >= steps:
+            break
+        params, opt_state, loss = step_fn(params, opt_state, crops,
+                                          tok_in, tok_out)
+        if (i + 1) % log_every == 0:
+            log.info("captioner step %d loss %.4f (%.2f steps/s)",
+                     i + 1, float(loss), log_every / max(time.time() - t0, 1e-9))
+            t0 = time.time()
+        if (i + 1) % ckpt_every == 0 or i + 1 == steps:
+            save_checkpoint(ckpt_dir, i + 1, params, opt_state)
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+    save_variables({"params": params["encoder"]}, out / "strokes_encoder.msgpack")
+    save_variables({"params": params["decoder"]}, out / "strokes_decoder.msgpack")
+    import dataclasses, json
+    cfg = dataclasses.asdict(config)
+    cfg["mean"], cfg["std"] = list(cfg["mean"]), list(cfg["std"])
+    (out / "configs_strokes.json").write_text(json.dumps(cfg, indent=1))
+    log.info("captioner exported to %s", out)
+    return params
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--model", choices=["binarizer", "captioner", "both"],
+                    default="both")
+    ap.add_argument("--steps", type=int, default=300)
+    ap.add_argument("--batch", type=int, default=16)
+    ap.add_argument("--out", default="./models")
+    ap.add_argument("--lr", type=float, default=3e-4)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--bin-features", default=None,
+                    help="comma list, e.g. 16,32,64")
+    ap.add_argument("--encoder-arch", default=None)
+    args = ap.parse_args(argv)
+
+    bin_kw = {}
+    if args.bin_features:
+        feats = tuple(int(x) for x in args.bin_features.split(","))
+        bin_kw = {"features": feats, "bottleneck": feats[-1] * 2}
+    se_kw = {"encoder_arch": args.encoder_arch} if args.encoder_arch else {}
+
+    if args.model in ("binarizer", "both"):
+        train_binarizer(BinarizerConfig(**bin_kw), args.steps, args.batch,
+                        args.out, args.lr, args.seed)
+    if args.model in ("captioner", "both"):
+        train_captioner(StrokesConfig(**se_kw), args.steps, args.batch,
+                        args.out, args.lr, args.seed)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,2 @@
+from stroke_derenderer_tpu.utils.profiling import StageTimer, device_trace  # noqa: F401
+from stroke_derenderer_tpu.utils.logging import get_logger  # noqa: F401

@@ -1,0 +1,62 @@
+"""Tracing / profiling utilities.
+
+The reference's only observability is a wall-clock print per image
+(main.py:106-117, 123-136; SURVEY.md §5). Kept here as the CLI prints, plus:
+
+  * :class:`StageTimer` — named per-stage wall-clock accumulation with a
+    summary table, for the pipeline stages (resize/tile/forward/stitch/
+    segment/decode/post);
+  * :func:`device_trace` — context manager around ``jax.profiler`` emitting
+    a TensorBoard-loadable device trace (XLA op timeline) to a directory.
+"""
+
+from __future__ import annotations
+
+import collections
+import contextlib
+import time
+
+
+class StageTimer:
+    """Accumulates wall-clock per named stage.
+
+    >>> timer = StageTimer()
+    >>> with timer("forward"):
+    ...     run()
+    >>> timer.summary()
+    """
+
+    def __init__(self):
+        self.totals: dict[str, float] = collections.defaultdict(float)
+        self.counts: dict[str, int] = collections.defaultdict(int)
+
+    @contextlib.contextmanager
+    def __call__(self, name: str):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            self.totals[name] += time.perf_counter() - t0
+            self.counts[name] += 1
+
+    def summary(self) -> str:
+        lines = [f"{'stage':<16}{'total_s':>10}{'calls':>8}{'mean_ms':>10}"]
+        for name, tot in sorted(self.totals.items(), key=lambda kv: -kv[1]):
+            n = self.counts[name]
+            lines.append(f"{name:<16}{tot:>10.3f}{n:>8}{1000 * tot / n:>10.2f}")
+        return "\n".join(lines)
+
+    def as_dict(self) -> dict:
+        return {k: {"total_s": self.totals[k], "calls": self.counts[k]}
+                for k in self.totals}
+
+
+@contextlib.contextmanager
+def device_trace(log_dir: str):
+    """XLA device trace via jax.profiler (TensorBoard 'profile' plugin)."""
+    import jax
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()

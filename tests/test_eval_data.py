@@ -1,0 +1,107 @@
+"""Eval metrics + synthetic data generator tests."""
+
+import numpy as np
+import pytest
+
+from stroke_derenderer_tpu.data import (
+    glyph_batches, make_glyph_sample, make_line_sample, random_strokes,
+    rasterize_strokes, tile_batches, tokens_from_strokes,
+)
+from stroke_derenderer_tpu.eval import (
+    binarization_f1, evaluate_pair, stroke_dtw, strokes_chamfer,
+)
+from stroke_derenderer_tpu.ops.strokes import tokens_to_strokes
+
+
+def test_f1_bounds(rng):
+    a = rng.random((64, 64)) > 0.5
+    assert binarization_f1(a, a) == 1.0
+    assert binarization_f1(a, ~a) == 0.0
+    assert 0.0 < binarization_f1(a, rng.random((64, 64)) > 0.5) < 1.0
+
+
+def test_dtw_identity_and_order_insensitivity(rng):
+    s1 = (np.linspace(0, 10, 8), np.linspace(0, 5, 8))
+    s2 = (np.linspace(20, 30, 9), np.linspace(1, 2, 9))
+    assert stroke_dtw([s1, s2], [s1, s2]) == pytest.approx(0.0, abs=1e-9)
+    # Reversed orientation matches too.
+    r1 = (s1[0][::-1], s1[1][::-1])
+    assert stroke_dtw([r1, s2], [s1, s2]) == pytest.approx(0.0, abs=1e-9)
+    # A shifted copy is strictly worse.
+    sh = (s1[0] + 3, s1[1] + 3)
+    assert stroke_dtw([sh, s2], [s1, s2]) > 0.3
+
+
+def test_dtw_unmatched_penalty():
+    s1 = (np.array([0.0, 1.0]), np.array([0.0, 1.0]))
+    extra = (np.array([50.0, 51.0]), np.array([50.0, 51.0]))
+    full = stroke_dtw([s1], [s1])
+    with_extra = stroke_dtw([s1, extra], [s1])
+    assert with_extra > full
+
+
+def test_chamfer_and_pair(rng):
+    s = [(rng.uniform(0, 100, 10), rng.uniform(0, 50, 10))]
+    assert strokes_chamfer(s, s) == pytest.approx(0.0, abs=1e-9)
+    m = rng.random((32, 32)) > 0.5
+    res = evaluate_pair(m, m, s, s)
+    assert res["binarization_f1"] == 1.0
+    assert res["stroke_dtw"] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_token_grammar_roundtrip(rng):
+    """tokens_from_strokes must be the exact inverse of tokens_to_strokes
+    on rounded integer coordinates."""
+    for seed in range(5):
+        r = np.random.default_rng(seed)
+        strokes = random_strokes(r, 3, (224, 224), points_per_stroke=10)
+        toks = tokens_from_strokes(strokes, 224, 384)
+        back = tokens_to_strokes(toks, 224)
+        assert len(back) == len(strokes)
+        for (bx, by), (ox, oy) in zip(back, strokes):
+            np.testing.assert_array_equal(
+                bx, np.clip(np.round(ox), 0, 223).astype(int))
+            np.testing.assert_array_equal(
+                by, np.clip(np.round(oy), 0, 223).astype(int))
+
+
+def test_token_truncation_keeps_eos():
+    strokes = [(np.arange(300, dtype=float), np.arange(300, dtype=float) % 224)]
+    toks = tokens_from_strokes(strokes, 224, 64)
+    assert toks.shape == (64,)
+    assert toks[63] == 2 or 2 in toks  # EOS present
+
+
+def test_rasterize_covers_stroke_points(rng):
+    strokes = random_strokes(rng, 2, (64, 200))
+    mask = rasterize_strokes(strokes, (64, 200), thickness=1)
+    for x, y in strokes:
+        xi = np.clip(np.round(x).astype(int), 0, 199)
+        yi = np.clip(np.round(y).astype(int), 0, 63)
+        assert mask[yi, xi].all()
+
+
+def test_line_sample_shapes(rng):
+    img, mask = make_line_sample(rng, 128, 640)
+    assert img.shape == (128, 640, 3) and img.dtype == np.uint8
+    assert mask.shape == (128, 640) and set(np.unique(mask)) <= {0, 1}
+    # Ink is darker than paper.
+    assert img[mask > 0, 0].mean() < img[mask == 0, 0].mean()
+
+
+def test_batch_iterators(rng):
+    tiles, masks = next(tile_batches(rng, 2, 64, 192))
+    assert tiles.shape == (2, 64, 192, 3) and tiles.max() <= 1.0
+    assert masks.shape == (2, 64, 192, 1)
+    crops, tok_in, tok_out = next(glyph_batches(rng, 2, 56, seq_len=16))
+    assert crops.shape == (2, 56, 56, 3)
+    assert tok_in.shape == (2, 16) and tok_out.shape == (2, 16)
+    assert (tok_in[:, 0] == 1).all()  # BOS
+    # tok_out is tok_in shifted left by one.
+    assert np.array_equal(tok_in[:, 1:], tok_out[:, :-1])
+
+
+def test_glyph_sample_normalized(rng):
+    crop, toks = make_glyph_sample(rng, 224, 64)
+    assert crop.shape == (224, 224, 3) and crop.dtype == np.float32
+    assert toks.shape == (64,)

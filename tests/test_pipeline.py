@@ -105,6 +105,18 @@ def test_estimate_strokes_bucketing_invariance(estimator):
     assert np.array_equal(p3, p8[:3])
 
 
+def test_u8_device_normalize_matches_f32_host(estimator):
+    """The uint8 upload + device normalization path must produce the same
+    tokens as feeding host-normalized float32 crops."""
+    mask = _line_image()[:, :, 0] < 128
+    parts = estimator.get_partitions(mask.astype(np.uint8))
+    u8 = np.stack([p["image"] for p in parts]).astype(np.uint8)
+    f32 = np.stack([p["image_input"] for p in parts]).astype(np.float32)
+    pu = estimator.estimate_strokes(u8, max_length=12)
+    pf = estimator.estimate_strokes(f32, max_length=12)
+    assert np.array_equal(pu, pf)
+
+
 def test_weights_roundtrip(tmp_path):
     from stroke_derenderer_tpu.weights import materialize_model_dir
     from stroke_derenderer_tpu.cli import initialize_sessions
