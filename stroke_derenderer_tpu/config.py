@@ -101,6 +101,10 @@ class StrokesConfig:
     # TPU execution.
     compute_dtype: str = "bfloat16"
     glyph_bucket: int = 8  # pad glyph-batch to a multiple of this
+    # Route decode attention through the Pallas kernel
+    # (kernels/decode_attention.py). Off by default: measured slower than
+    # the XLA step at these shapes on v5e (see pipeline/strokes.py).
+    fused_decode: bool = False
 
     def __post_init__(self):
         object.__setattr__(self, "mean", tuple(self.mean))

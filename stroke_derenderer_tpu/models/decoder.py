@@ -73,9 +73,15 @@ class AttentiveDecoder(nn.Module):
         awe = jnp.sum(alpha * enc_seq.astype(jnp.float32), axis=1)
         gate = nn.sigmoid(self.f_beta(h))
         awe = (gate.astype(jnp.float32) * awe).astype(self.dtype)
+        return self.step_with_awe(emb, awe, h, c) + (alpha[..., 0],)
+
+    def step_with_awe(self, emb, awe, h, c):
+        """LSTM + vocab head once the attended vector is known (the
+        attention half can come from the fused Pallas kernel)."""
+        awe = awe.astype(self.dtype)
         (c, h), _ = self.lstm((c, h), jnp.concatenate([emb, awe], axis=-1))
         logits = self.fc(h.astype(jnp.float32))
-        return logits, h, c, alpha[..., 0]
+        return logits, h, c
 
     def __call__(self, enc_seq, tokens):
         """Teacher-forced training forward: (B, P, E), (B, T) int tokens ->
@@ -97,13 +103,17 @@ class AttentiveDecoder(nn.Module):
 
 
 def greedy_decode(decoder: AttentiveDecoder, variables, enc_seq,
-                  max_length: int) -> jnp.ndarray:
+                  max_length: int, fused: bool = False) -> jnp.ndarray:
     """Batched greedy decode as one on-device while_loop.
 
     enc_seq: (B, P, E) float. Returns (B, max_length) int32 predictions with
     the reference's exact write semantics: at step t every still-active row
     records its argmax token (including the terminating EOS); retired rows
     stay PAD (evaluate_strokes.py:274-302).
+
+    ``fused=True`` routes the attention+gate half of each step through the
+    Pallas kernel (kernels/decode_attention.py) — one VMEM pass over the
+    encoder sequence per step instead of XLA's two.
     """
     b = enc_seq.shape[0]
     apply = lambda method, *a: decoder.apply(variables, *a, method=method)
@@ -114,13 +124,29 @@ def greedy_decode(decoder: AttentiveDecoder, variables, enc_seq,
     preds0 = jnp.full((b, max_length), PAD, jnp.int32)
     active0 = jnp.ones((b,), bool)
 
+    if fused:
+        from stroke_derenderer_tpu.kernels import fused_attention_gate
+        p = variables["params"]
+
+        def fused_step(emb, h, c):
+            awe, _ = fused_attention_gate(
+                enc_seq, enc_proj, h,
+                p["dec_att"]["kernel"], p["dec_att"]["bias"],
+                p["full_att"]["kernel"][:, 0], p["full_att"]["bias"][0],
+                p["f_beta"]["kernel"], p["f_beta"]["bias"])
+            logits, h, c = apply(AttentiveDecoder.step_with_awe, emb, awe, h, c)
+            return logits, h, c
+
     def cond(state):
         t, _, _, _, _, active = state
         return jnp.logical_and(t < max_length, jnp.any(active))
 
     def body(state):
         t, preds, emb, h, c, active = state
-        logits, h2, c2, _ = apply(AttentiveDecoder.step, enc_seq, enc_proj, emb, h, c)
+        if fused:
+            logits, h2, c2 = fused_step(emb, h, c)
+        else:
+            logits, h2, c2, _ = apply(AttentiveDecoder.step, enc_seq, enc_proj, emb, h, c)
         tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         preds = preds.at[:, t].set(jnp.where(active, tokens, PAD))
         next_active = jnp.logical_and(active, tokens != EOS)

@@ -87,7 +87,13 @@ class StrokeEstimator:
             seq = encode_postprocess(fm, cfg.encode_image_size)  # (B, 196, C)
             if self.proj is not None:
                 seq = self.proj.apply(proj_vars, seq)
-            return greedy_decode(self.decoder, dec_vars, seq, max_length)
+            # Pallas fused attention is opt-in: measured on v5e at the
+            # production shapes (B<=80, P=196, E=2048) the XLA while_loop
+            # step wins (0.29 ms/step full step vs 2.8 ms/call kernel) —
+            # these matmuls are too small for the kernel's grid overheads.
+            fused = self.config.fused_decode and jax.default_backend() == "tpu"
+            return greedy_decode(self.decoder, dec_vars, seq, max_length,
+                                 fused=fused)
 
         return run
 

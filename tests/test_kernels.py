@@ -1,0 +1,60 @@
+"""Pallas kernel tests (interpret mode on the CPU backend)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stroke_derenderer_tpu.kernels import (
+    fused_attention_gate, fused_attention_gate_reference,
+)
+from stroke_derenderer_tpu.models import AttentiveDecoder, greedy_decode
+
+
+def _args(rng, b=5, p=19, e=64, a=32, d=24):
+    f = lambda *s: jnp.asarray(rng.normal(size=s).astype(np.float32) * 0.1)
+    return (f(b, p, e), f(b, p, a), f(b, d), f(d, a), f(a), f(a),
+            jnp.float32(0.2), f(d, e), f(e))
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_kernel_matches_reference_interpret(seed):
+    rng = np.random.default_rng(seed)
+    args = _args(rng)
+    out_ref, al_ref = fused_attention_gate_reference(*args)
+    out_k, al_k = fused_attention_gate(*args, interpret=True)
+    # The kernel streams bf16 (f32 accumulation): ~3 decimal digits.
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_ref),
+                               rtol=2e-2, atol=5e-4)
+    np.testing.assert_allclose(np.asarray(al_k), np.asarray(al_ref),
+                               rtol=2e-2, atol=1e-3)
+
+
+def test_kernel_odd_batch_and_positions():
+    rng = np.random.default_rng(7)
+    args = _args(rng, b=3, p=7)  # forces both paddings
+    out_ref, al_ref = fused_attention_gate_reference(*args)
+    out_k, al_k = fused_attention_gate(*args, interpret=True)
+    assert out_k.shape == out_ref.shape and al_k.shape == al_ref.shape
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(out_ref),
+                               rtol=2e-2, atol=5e-4)
+
+
+def test_alpha_is_distribution():
+    rng = np.random.default_rng(1)
+    _, al = fused_attention_gate(*_args(rng), interpret=True)
+    s = np.asarray(al).sum(axis=1)
+    np.testing.assert_allclose(s, np.ones_like(s), rtol=1e-5)
+
+
+def test_fused_greedy_decode_matches_unfused():
+    """On an f32 model, the fused (reference-math fallback on CPU) and
+    unfused decode paths must emit identical tokens."""
+    dec = AttentiveDecoder(vocab_size=51, embed_dim=8, attention_dim=8,
+                           decoder_dim=8, encoder_dim=16, dtype=jnp.float32)
+    v = dec.init(jax.random.PRNGKey(0), jnp.zeros((1, 9, 16)),
+                 jnp.zeros((1, 3), jnp.int32))
+    enc = jax.random.normal(jax.random.PRNGKey(2), (4, 9, 16))
+    a = np.asarray(greedy_decode(dec, v, enc, 16, fused=False))
+    b = np.asarray(greedy_decode(dec, v, enc, 16, fused=True))
+    assert np.array_equal(a, b)
