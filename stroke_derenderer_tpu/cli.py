@@ -41,6 +41,10 @@ def parse_args(argv=None):
                         help="Write a randomly-initialized model dir and exit.")
     parser.add_argument("--fused", action="store_true",
                         help="Fully fused per-width binarize programs.")
+    parser.add_argument("--batch", action="store_true",
+                        help="Throughput mode: batch ALL images' tiles and "
+                             "glyphs into shared device programs (the "
+                             "reference can only loop per image).")
     return parser.parse_args(argv)
 
 
@@ -116,6 +120,38 @@ def run(imgs, binarizer: Binarizer, estimator: StrokeEstimator | None,
     return done
 
 
+def run_batched(imgs, binarizer: Binarizer, estimator: StrokeEstimator | None,
+                output_folder, strokes: bool = True) -> int:
+    """Throughput mode: one device batch for every image's tiles, one for
+    every image's glyphs. Same outputs/filenames as :func:`run`; the timing
+    print reports the amortized per-image time."""
+    out_dir = Path(output_folder)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    if not imgs:
+        return 0
+    t0 = time.time()
+    bins = binarizer.binarize_images([img for img, _ in imgs])
+    masks = [b[:, :, 0] > (255 * binarizer.config.bin_thr) for b in bins]
+    t_bin = round((time.time() - t0) / len(imgs), 4)
+    for (img, filename), mask in zip(imgs, masks):
+        bin_path = str(out_dir / f"{filename}_BINARIZED.png")
+        save_image(minmax_normalize_np(mask.astype(np.uint8)), bin_path,
+                   grayscale=True)
+        print(f"{filename} took {t_bin} seconds to binarize (amortized). "
+              f"Result is saved to {bin_path}")
+    if strokes and estimator is not None:
+        t0 = time.time()
+        all_strokes = estimator.process_images(masks)
+        t_se = round((time.time() - t0) / len(imgs), 4)
+        for (img, filename), mask, stroke_list in zip(imgs, masks, all_strokes):
+            ratio = img.shape[0] / mask.shape[0]
+            st_path = str(out_dir / f"{filename}_STROKES.json")
+            save_json(strokes_to_json(stroke_list, scale=ratio), st_path)
+            print(f"{filename} took {t_se} seconds to estimate strokes "
+                  f"(amortized). Result is saved to {st_path}")
+    return len(imgs)
+
+
 def load_images(img_filepaths):
     """(paths) -> [(image, stem), ...] (reference main.py:67-78).
     Unreadable files are skipped with a log line instead of aborting."""
@@ -139,7 +175,8 @@ def entrypoint(argv=None):
     img_filepaths = sorted(Path(args.input).glob("*.png"))
     imgs = load_images(img_filepaths)
     binarizer, estimator = initialize_sessions(args.models, fused=args.fused)
-    run(imgs, binarizer, estimator, args.output, strokes=not args.no_strokes)
+    runner = run_batched if args.batch else run
+    runner(imgs, binarizer, estimator, args.output, strokes=not args.no_strokes)
     return 0
 
 

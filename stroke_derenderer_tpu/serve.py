@@ -1,0 +1,193 @@
+"""Batched HTTP inference server.
+
+The reference is a batch-of-files script only; this adds a production
+serving surface on the same pipelines:
+
+    python -m stroke_derenderer_tpu.serve --models ./models_demo --port 8700
+
+Endpoints (PNG body in, JSON out):
+  POST /binarize  -> {"binarized_png_b64": ..., "height": H, "width": W}
+  POST /derender  -> {"strokes": [[X, Y], ...], "binarize_s": ..., ...}
+  GET  /healthz   -> {"ok": true}
+
+Requests are funneled through a micro-batching queue: concurrent requests
+arriving within ``--batch-window-ms`` are executed as ONE device batch
+(cross-image tile/glyph batching, pipeline/*.py), so throughput under load
+matches bench.py's batched numbers rather than per-request latency x N.
+"""
+
+from __future__ import annotations
+
+import argparse
+import base64
+import io
+import json
+import queue
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+from stroke_derenderer_tpu.cli import initialize_sessions
+from stroke_derenderer_tpu.ops.strokes import strokes_to_json
+from stroke_derenderer_tpu.utils import get_logger
+
+log = get_logger("serve")
+
+
+class _Job:
+    def __init__(self, img: np.ndarray, want_strokes: bool):
+        self.img = img
+        self.want_strokes = want_strokes
+        self.done = threading.Event()
+        self.result: dict | None = None
+        self.error: str | None = None
+
+
+class BatchWorker(threading.Thread):
+    """Collects jobs for up to ``window_s`` then runs them as one batch."""
+
+    def __init__(self, binarizer, estimator, window_s: float = 0.01,
+                 max_batch: int = 64):
+        super().__init__(daemon=True)
+        self.binarizer = binarizer
+        self.estimator = estimator
+        self.window_s = window_s
+        self.max_batch = max_batch
+        self.q: "queue.Queue[_Job]" = queue.Queue()
+
+    def submit(self, job: _Job):
+        self.q.put(job)
+
+    def run(self):
+        while True:
+            jobs = [self.q.get()]
+            deadline = time.time() + self.window_s
+            while len(jobs) < self.max_batch:
+                remaining = deadline - time.time()
+                if remaining <= 0:
+                    break
+                try:
+                    jobs.append(self.q.get(timeout=remaining))
+                except queue.Empty:
+                    break
+            self._process(jobs)
+
+    def _process(self, jobs):
+        try:
+            t0 = time.time()
+            bins = self.binarizer.binarize_images([j.img for j in jobs])
+            t_bin = time.time() - t0
+            masks = [b[:, :, 0] > (255 * self.binarizer.config.bin_thr)
+                     for b in bins]
+            stroke_jobs = [(i, m) for i, (j, m) in enumerate(zip(jobs, masks))
+                           if j.want_strokes]
+            stroke_results = {}
+            t_se = 0.0
+            if stroke_jobs:
+                t0 = time.time()
+                lists = self.estimator.process_images(
+                    [m for _, m in stroke_jobs])
+                t_se = time.time() - t0
+                for (i, _), s in zip(stroke_jobs, lists):
+                    stroke_results[i] = s
+            for i, (job, mask) in enumerate(zip(jobs, masks)):
+                out = {
+                    "height": int(job.img.shape[0]),
+                    "width": int(job.img.shape[1]),
+                    "binarize_s": round(t_bin / len(jobs), 4),
+                    "batch_size": len(jobs),
+                }
+                out["binarized_png_b64"] = _png_b64(
+                    (mask * 255).astype(np.uint8))
+                if job.want_strokes:
+                    ratio = job.img.shape[0] / mask.shape[0]
+                    out["strokes"] = strokes_to_json(stroke_results[i],
+                                                     scale=ratio)
+                    out["strokes_s"] = round(t_se / max(len(stroke_jobs), 1), 4)
+                job.result = out
+                job.done.set()
+        except Exception as exc:  # noqa: BLE001 — report to each waiter
+            for job in jobs:
+                job.error = f"{type(exc).__name__}: {exc}"
+                job.done.set()
+
+
+def _png_b64(gray: np.ndarray) -> str:
+    from PIL import Image
+    buf = io.BytesIO()
+    Image.fromarray(gray, mode="L").save(buf, format="PNG")
+    return base64.b64encode(buf.getvalue()).decode()
+
+
+def _decode_png(body: bytes) -> np.ndarray:
+    from PIL import Image
+    return np.asarray(Image.open(io.BytesIO(body)).convert("RGB"))
+
+
+def make_handler(worker: BatchWorker, timeout_s: float = 120.0):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):  # route through our logger
+            log.info("%s " + fmt, self.client_address[0], *args)
+
+        def _reply(self, code: int, obj: dict):
+            body = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def do_GET(self):
+            if self.path == "/healthz":
+                self._reply(200, {"ok": True})
+            else:
+                self._reply(404, {"error": "unknown path"})
+
+        def do_POST(self):
+            if self.path not in ("/binarize", "/derender"):
+                self._reply(404, {"error": "unknown path"})
+                return
+            try:
+                n = int(self.headers.get("Content-Length", 0))
+                img = _decode_png(self.rfile.read(n))
+            except Exception as exc:  # bad input is a client error
+                self._reply(400, {"error": f"bad image: {exc}"})
+                return
+            job = _Job(img, want_strokes=self.path == "/derender")
+            worker.submit(job)
+            if not job.done.wait(timeout_s):
+                self._reply(504, {"error": "timeout"})
+                return
+            if job.error:
+                self._reply(500, {"error": job.error})
+            else:
+                self._reply(200, job.result)
+
+    return Handler
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--models", default=None)
+    ap.add_argument("--host", default="127.0.0.1")
+    ap.add_argument("--port", type=int, default=8700)
+    ap.add_argument("--batch-window-ms", type=float, default=10.0)
+    ap.add_argument("--max-batch", type=int, default=64)
+    args = ap.parse_args(argv)
+
+    binarizer, estimator = initialize_sessions(args.models)
+    worker = BatchWorker(binarizer, estimator,
+                         window_s=args.batch_window_ms / 1000.0,
+                         max_batch=args.max_batch)
+    worker.start()
+    server = ThreadingHTTPServer((args.host, args.port),
+                                 make_handler(worker))
+    log.info("serving on http://%s:%d (models=%s)", args.host, args.port,
+             args.models)
+    server.serve_forever()
+
+
+if __name__ == "__main__":
+    main()

@@ -54,6 +54,25 @@ def test_jnp_cc_matches_host(seed):
     assert np.array_equal(dev_labels, labels)
 
 
+def test_jnp_cc_spiral():
+    """A spiral is the worst case for naive propagation; the serpentine
+    sweep must still converge and agree with the host backend."""
+    n = 31
+    img = np.zeros((n, n), np.uint8)
+    x0, x1, y0, y1 = 0, n - 1, 0, n - 1
+    while x0 <= x1 and y0 <= y1:
+        img[y0, x0:x1 + 1] = 1
+        img[y0:y1 + 1, x1] = 1
+        x0 += 2
+        y0 += 2
+        x1 -= 2
+        y1 -= 2
+    labels, num = connected_components(img)
+    dev_labels, dev_num = connected_components_jnp(img)
+    assert int(dev_num) == num
+    assert np.array_equal(np.asarray(dev_labels), labels)
+
+
 def test_diagonal_connectivity():
     img = np.zeros((4, 4), np.uint8)
     img[0, 0] = img[1, 1] = img[2, 2] = 1  # 8-connected diagonal
