@@ -140,6 +140,60 @@ def make_glyph_sample(rng: np.random.Generator, image_size: int = 224,
     return model_in, toks
 
 
+def make_partitioned_glyph_sample(rng: np.random.Generator,
+                                  max_length: int = 384,
+                                  canvas: tuple[int, int] = (128, 128)):
+    """Training pair generated THROUGH the inference partition pipeline:
+    strokes are drawn on a binarizer-height canvas, partitioned exactly
+    like inference (pipeline/strokes.compute_partitions), and the ground
+    truth tokens are the strokes mapped into the 224x224 crop frame with
+    the partition's forward transform. Eliminates the train/test
+    distribution gap of :func:`make_glyph_sample`.
+
+    Returns (model_input (S,S,3) f32, crop_u8 (S,S), tokens (max_length,)).
+    """
+    from stroke_derenderer_tpu.config import StrokesConfig
+    from stroke_derenderer_tpu.pipeline.strokes import compute_partitions
+
+    cfg = StrokesConfig()
+    h, w = canvas
+    for _ in range(8):  # resample until the ink forms a single partition
+        n = int(rng.integers(1, 5))
+        # Constrain ink to a sub-tile window so grouping yields ONE group.
+        strokes = random_strokes(rng, n, (h, min(w, h) - 24))
+        strokes = [(x + 10, y + 10) for x, y in strokes]
+        mask = rasterize_strokes(strokes, (h, w),
+                                 thickness=int(rng.integers(1, 4)))
+        parts = compute_partitions(mask, cfg)
+        if len(parts) == 1:
+            break
+    part = parts[0]
+    (x1, y1), r, (x2, y2) = part["translate1"], part["ratio"], part["translate2"]
+    crop_strokes = [((x - x1) * r + x2, (y - y1) * r + y2) for x, y in strokes]
+    toks = tokens_from_strokes(crop_strokes, cfg.image_size, max_length)
+    return part["image_input"], part["image"], toks
+
+
+def partitioned_glyph_batches(rng: np.random.Generator, batch_size: int,
+                              seq_len: int = 96,
+                              n_batches: int | None = None):
+    """Yield (crops, tok_in, tok_out) built via the inference partition
+    pipeline (see make_partitioned_glyph_sample)."""
+    i = 0
+    while n_batches is None or i < n_batches:
+        crops, seqs = [], []
+        for _ in range(batch_size):
+            model_in, _, t = make_partitioned_glyph_sample(rng, seq_len + 1)
+            crops.append(model_in)
+            seqs.append(t)
+        seqs = np.stack(seqs)
+        tok_in = np.concatenate(
+            [np.full((batch_size, 1), BOS, np.int32), seqs[:, :seq_len - 1]], 1)
+        tok_out = seqs[:, :seq_len]
+        yield np.stack(crops), tok_in, tok_out
+        i += 1
+
+
 def tile_batches(rng: np.random.Generator, batch_size: int, height: int = 128,
                  width: int = 384, n_batches: int | None = None):
     """Yield (tiles f32 [0,1] (B,H,W,3), masks f32 (B,H,W,1)) forever (or

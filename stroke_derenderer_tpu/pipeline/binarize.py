@@ -106,6 +106,29 @@ class Binarizer:
         masks = self.binarize_tiles(tiles)
         return stitch_tiles_np(masks, plan)
 
+    # --- reference-API conveniences (evaluate_binarize.py method names) ---
+
+    def preprocess_image(self, image: np.ndarray):
+        """resize-to-height + cut into padded tiles: returns (tiles, plan)
+        (reference preprocess_images, evaluate_binarize.py:67-82)."""
+        img_rs = resize_to_height_np(np.asarray(image), self.config.height)
+        if img_rs.ndim == 2:
+            img_rs = img_rs[:, :, None]
+        plan = plan_tiles(img_rs.shape[1], self.config.width,
+                          self.config.overlap)
+        return cut_tiles_np(img_rs, plan), plan
+
+    def model_predict(self, tiles_u8: np.ndarray) -> np.ndarray:
+        """Device forward + threshold on a tile stack
+        (reference model_predict, evaluate_binarize.py:85-115 — minus its
+        minibatch loop; the whole stack is one program)."""
+        return self.binarize_tiles(tiles_u8)
+
+    def postprocess_stack(self, masks: np.ndarray, plan: TilePlan) -> np.ndarray:
+        """Max-blend stitch back to the line image
+        (reference postprocess_stack, evaluate_binarize.py:118-127)."""
+        return stitch_tiles_np(masks, plan)
+
     def binarize_images(self, images) -> list[np.ndarray]:
         """Batch over images: all tiles of all images run in one device
         batch (cross-image batching the reference can't do)."""

@@ -117,34 +117,7 @@ class StrokeEstimator:
         """Binarized (H, W) image -> list of partition dicts with the model
         input crop and the transform bookkeeping
         (reference evaluate_strokes.py:186-224)."""
-        cfg = self.config
-        img_bin = np.asarray(img_bin)
-        if img_bin.ndim == 3:
-            img_bin = img_bin[:, :, 0]
-        islands = grouping.get_binarized_islands(
-            img_bin.astype(np.uint8), margin=cfg.margin)
-        if not islands:
-            return []
-        img_h = img_bin.shape[0]
-        groups = grouping.group_islands(islands, (img_h, img_h))
-
-        partitions = []
-        for canvas, (top, left) in groups:
-            norm = minmax_normalize_np(canvas)
-            padded, ratio, (x2, y2) = grouping.resize_and_pad_np(
-                norm, cfg.tgt_shape, margin=1, pad_value=0)
-            # Second minmax is a no-op on already-0/255 data but kept for
-            # contract parity (evaluate_strokes.py:58-69 normalizes again).
-            model_in = imagenet_normalize_np(
-                minmax_normalize_np(padded), cfg.mean, cfg.std)
-            partitions.append({
-                "image": padded,                        # (224, 224) uint8
-                "image_input": model_in,                # (224, 224, 3) f32 NHWC
-                "translate1": (left, top),              # (x, y)
-                "ratio": ratio,
-                "translate2": (x2, y2),                 # (x, y)
-            })
-        return partitions
+        return compute_partitions(img_bin, self.config)
 
     def process_tokens(self, tokens: np.ndarray, partitions: list[dict]):
         """Token matrix + partition transforms -> globally sorted strokes
@@ -189,6 +162,38 @@ class StrokeEstimator:
             out.append(self.process_tokens(preds[ofs:ofs + n], parts) if n else [])
             ofs += n
         return out
+
+
+def compute_partitions(img_bin: np.ndarray, cfg: StrokesConfig) -> list[dict]:
+    """Standalone partitioning (used by the session AND by synthetic data
+    generation so training crops match inference crops exactly)."""
+    img_bin = np.asarray(img_bin)
+    if img_bin.ndim == 3:
+        img_bin = img_bin[:, :, 0]
+    islands = grouping.get_binarized_islands(
+        img_bin.astype(np.uint8), margin=cfg.margin)
+    if not islands:
+        return []
+    img_h = img_bin.shape[0]
+    groups = grouping.group_islands(islands, (img_h, img_h))
+
+    partitions = []
+    for canvas, (top, left) in groups:
+        norm = minmax_normalize_np(canvas)
+        padded, ratio, (x2, y2) = grouping.resize_and_pad_np(
+            norm, cfg.tgt_shape, margin=1, pad_value=0)
+        # Second minmax is a no-op on already-0/255 data but kept for
+        # contract parity (evaluate_strokes.py:58-69 normalizes again).
+        model_in = imagenet_normalize_np(
+            minmax_normalize_np(padded), cfg.mean, cfg.std)
+        partitions.append({
+            "image": padded,                        # (224, 224) uint8
+            "image_input": model_in,                # (224, 224, 3) f32 NHWC
+            "translate1": (left, top),              # (x, y)
+            "ratio": ratio,
+            "translate2": (x2, y2),                 # (x, y)
+        })
+    return partitions
 
 
 def _templates(config: StrokesConfig):

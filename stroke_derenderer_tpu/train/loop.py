@@ -55,8 +55,11 @@ def train_binarizer(config: BinarizerConfig, steps: int, batch_size: int,
         log.info("resumed binarizer from %s (step %d)", last, start_step)
 
     step_fn = jax.jit(make_binarizer_train_step(model, tx))
-    rng = np.random.default_rng(seed)
-    data = tile_batches(rng, batch_size, config.height, config.width)
+    from stroke_derenderer_tpu.data.loader import PrefetchLoader
+    data = PrefetchLoader(
+        lambda w: tile_batches(np.random.default_rng(seed + w), batch_size,
+                               config.height, config.width),
+        num_workers=2)
 
     t0 = time.time()
     for i, (tiles, masks) in enumerate(data, start=start_step):
@@ -69,6 +72,7 @@ def train_binarizer(config: BinarizerConfig, steps: int, batch_size: int,
             t0 = time.time()
         if (i + 1) % ckpt_every == 0 or i + 1 == steps:
             save_checkpoint(ckpt_dir, i + 1, params, opt_state)
+    data.close()
 
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
@@ -83,7 +87,7 @@ def train_binarizer(config: BinarizerConfig, steps: int, batch_size: int,
 def train_captioner(config: StrokesConfig, steps: int, batch_size: int,
                     out_dir: str | Path, lr: float = 3e-4, seed: int = 0,
                     seq_len: int = 96, ckpt_every: int = 200,
-                    log_every: int = 25):
+                    log_every: int = 25, glyph_mode: str = "partitioned"):
     encoder, decoder, enc_vars, dec_vars, _ = init_strokes_variables(config, seed)
     params = {"encoder": enc_vars["params"], "decoder": dec_vars["params"]}
     tx = optax.adamw(optax.warmup_cosine_decay_schedule(
@@ -99,8 +103,17 @@ def train_captioner(config: StrokesConfig, steps: int, batch_size: int,
 
     step_fn = jax.jit(make_captioner_train_step(
         encoder, decoder, tx, enc_image_size=config.encode_image_size))
-    rng = np.random.default_rng(seed)
-    data = glyph_batches(rng, batch_size, config.image_size, seq_len)
+    from stroke_derenderer_tpu.data.loader import PrefetchLoader
+    from stroke_derenderer_tpu.data.synthetic import partitioned_glyph_batches
+    if glyph_mode == "partitioned":
+        # Crops generated through the inference partition pipeline — no
+        # train/test distribution gap (data/synthetic.py).
+        make = lambda w: partitioned_glyph_batches(
+            np.random.default_rng(seed + w), batch_size, seq_len)
+    else:
+        make = lambda w: glyph_batches(np.random.default_rng(seed + w),
+                                       batch_size, config.image_size, seq_len)
+    data = PrefetchLoader(make, num_workers=2)
 
     t0 = time.time()
     for i, (crops, tok_in, tok_out) in enumerate(data, start=start_step):
@@ -114,6 +127,7 @@ def train_captioner(config: StrokesConfig, steps: int, batch_size: int,
             t0 = time.time()
         if (i + 1) % ckpt_every == 0 or i + 1 == steps:
             save_checkpoint(ckpt_dir, i + 1, params, opt_state)
+    data.close()
 
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
