@@ -43,6 +43,16 @@ def _round_up(n: int, m: int) -> int:
     return -(-n // m) * m
 
 
+def _prep_line(image: np.ndarray, cfg: BinarizerConfig) -> np.ndarray:
+    """Height-normalize and coerce channels to the model's expectation."""
+    img_rs = resize_to_height_np(np.asarray(image), cfg.height)
+    if img_rs.ndim == 2:
+        img_rs = img_rs[:, :, None]
+    if img_rs.shape[2] == 1 and cfg.channels == 3:
+        img_rs = np.repeat(img_rs, 3, axis=2)
+    return img_rs
+
+
 class Binarizer:
     def __init__(self, config: BinarizerConfig | None = None, variables=None,
                  weights_path=None, seed: int = 0, fused: bool = False):
@@ -96,9 +106,7 @@ class Binarizer:
     def binarize_image(self, image: np.ndarray) -> np.ndarray:
         """(H0, W0, C) uint8 -> (height, W_rs, 1) uint8 {0,255}."""
         cfg = self.config
-        img_rs = resize_to_height_np(np.asarray(image), cfg.height)
-        if img_rs.ndim == 2:
-            img_rs = img_rs[:, :, None]
+        img_rs = _prep_line(image, cfg)
         plan = plan_tiles(img_rs.shape[1], cfg.width, cfg.overlap)
         if self.fused:
             return np.asarray(self._fused_program(plan)(self.variables, img_rs))
@@ -111,9 +119,7 @@ class Binarizer:
     def preprocess_image(self, image: np.ndarray):
         """resize-to-height + cut into padded tiles: returns (tiles, plan)
         (reference preprocess_images, evaluate_binarize.py:67-82)."""
-        img_rs = resize_to_height_np(np.asarray(image), self.config.height)
-        if img_rs.ndim == 2:
-            img_rs = img_rs[:, :, None]
+        img_rs = _prep_line(image, self.config)
         plan = plan_tiles(img_rs.shape[1], self.config.width,
                           self.config.overlap)
         return cut_tiles_np(img_rs, plan), plan
@@ -135,9 +141,7 @@ class Binarizer:
         cfg = self.config
         plans, all_tiles, counts = [], [], []
         for image in images:
-            img_rs = resize_to_height_np(np.asarray(image), cfg.height)
-            if img_rs.ndim == 2:
-                img_rs = img_rs[:, :, None]
+            img_rs = _prep_line(image, cfg)
             plan = plan_tiles(img_rs.shape[1], cfg.width, cfg.overlap)
             tiles = cut_tiles_np(img_rs, plan)
             plans.append(plan)

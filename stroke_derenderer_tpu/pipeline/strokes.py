@@ -58,8 +58,12 @@ class StrokeEstimator:
             _, _, enc_t, dec_t, proj_t = _templates(self.config)
             self.enc_vars = load_variables(enc_t, weights_paths["encoder"])
             self.dec_vars = load_variables(dec_t, weights_paths["decoder"])
+            # Projection weights are only meaningful when the config enables
+            # the projection stage (reference loads projection.onnx only if
+            # present, main.py:60-61; here both file AND config must agree).
             self.proj_vars = (load_variables(proj_t, weights_paths["projection"])
-                              if "projection" in weights_paths else None)
+                              if ("projection" in weights_paths
+                                  and self.proj is not None) else None)
         else:
             (_, _, self.enc_vars, self.dec_vars,
              self.proj_vars) = init_strokes_variables(self.config, seed)
