@@ -142,7 +142,8 @@ def make_glyph_sample(rng: np.random.Generator, image_size: int = 224,
 
 def make_partitioned_glyph_sample(rng: np.random.Generator,
                                   max_length: int = 384,
-                                  canvas: tuple[int, int] = (128, 128)):
+                                  height: int = 128,
+                                  max_window: int = 600):
     """Training pair generated THROUGH the inference partition pipeline:
     strokes are drawn on a binarizer-height canvas, partitioned exactly
     like inference (pipeline/strokes.compute_partitions), and the ground
@@ -150,19 +151,25 @@ def make_partitioned_glyph_sample(rng: np.random.Generator,
     the partition's forward transform. Eliminates the train/test
     distribution gap of :func:`make_glyph_sample`.
 
+    The ink window width is sampled log-uniformly in [30, max_window] so
+    the crop resize ratio spans the full range inference sees — from tall
+    isolated glyphs (ratio ~2) to whole-line-wide groups squeezed into
+    224px (ratio ~0.3).
+
     Returns (model_input (S,S,3) f32, crop_u8 (S,S), tokens (max_length,)).
     """
     from stroke_derenderer_tpu.config import StrokesConfig
     from stroke_derenderer_tpu.pipeline.strokes import compute_partitions
 
     cfg = StrokesConfig()
-    h, w = canvas
+    h = height
     for _ in range(8):  # resample until the ink forms a single partition
-        n = int(rng.integers(1, 5))
-        # Constrain ink to a sub-tile window so grouping yields ONE group.
-        strokes = random_strokes(rng, n, (h, min(w, h) - 24))
+        n = int(rng.integers(1, 7))
+        win = int(np.exp(rng.uniform(np.log(30), np.log(max_window))))
+        strokes = random_strokes(rng, n, (h - 20, win),
+                                 points_per_stroke=int(rng.integers(6, 18)))
         strokes = [(x + 10, y + 10) for x, y in strokes]
-        mask = rasterize_strokes(strokes, (h, w),
+        mask = rasterize_strokes(strokes, (h, win + 20),
                                  thickness=int(rng.integers(1, 4)))
         parts = compute_partitions(mask, cfg)
         if len(parts) == 1:

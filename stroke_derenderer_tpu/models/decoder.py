@@ -163,3 +163,89 @@ def greedy_decode(decoder: AttentiveDecoder, variables, enc_seq,
     _, preds, *_ = jax.lax.while_loop(
         cond, body, (jnp.int32(0), preds0, emb, h, c, active0))
     return preds
+
+
+def beam_decode(decoder: AttentiveDecoder, variables, enc_seq,
+                max_length: int, beam_size: int = 5,
+                length_penalty: float = 0.0) -> jnp.ndarray:
+    """Batched beam-search decode (a capability the reference lacks — it is
+    greedy-only, evaluate_strokes.py:289).
+
+    enc_seq: (B, P, E). Returns (B, max_length) int32: the highest-scoring
+    beam per image, with the same PAD-after-EOS write convention as
+    :func:`greedy_decode`. ``length_penalty`` > 0 applies GNMT-style
+    normalization score / ((5+len)/6)**penalty when ranking final beams.
+    """
+    b, p_len, e = enc_seq.shape
+    k = beam_size
+    apply = lambda method, *a: decoder.apply(variables, *a, method=method)
+    vocab = decoder.vocab_size
+    neg_inf = jnp.float32(-1e30)
+
+    # Expand every per-image tensor to (B*K, ...).
+    def tile_rows(x):
+        return jnp.repeat(x, k, axis=0)
+
+    enc = tile_rows(enc_seq)                      # (B*K, P, E)
+    enc_proj = apply(AttentiveDecoder.project_encoding, enc)
+    h, c = apply(AttentiveDecoder.init_state, enc)
+    emb = apply(AttentiveDecoder.embed, jnp.full((b * k,), BOS, jnp.int32))
+
+    preds0 = jnp.full((b, k, max_length), PAD, jnp.int32)
+    # Only beam 0 is live initially so the first step picks K distinct tokens.
+    logp0 = jnp.tile(jnp.where(jnp.arange(k) == 0, 0.0, neg_inf)[None, :],
+                     (b, 1))
+    fin0 = jnp.zeros((b, k), bool)
+    lens0 = jnp.zeros((b, k), jnp.int32)
+
+    def cond(state):
+        t, _, _, _, _, _, fin, _ = state
+        return jnp.logical_and(t < max_length, ~jnp.all(fin))
+
+    def body(state):
+        t, preds, emb, h, c, logp, fin, lens = state
+        logits, h2, c2, _ = apply(AttentiveDecoder.step, enc, enc_proj,
+                                  emb, h, c)
+        logprob = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        logprob = logprob.reshape(b, k, vocab)
+        # Finished beams may only extend with PAD at no cost; everything
+        # else is forbidden (keeps their score frozen and their row inert).
+        pad_only = jnp.where(jnp.arange(vocab)[None, None, :] == PAD,
+                             0.0, neg_inf)
+        logprob = jnp.where(fin[:, :, None], pad_only, logprob)
+
+        total = logp[:, :, None] + logprob                 # (B, K, V)
+        top_val, top_idx = jax.lax.top_k(total.reshape(b, k * vocab), k)
+        parent = top_idx // vocab                          # (B, K)
+        token = (top_idx % vocab).astype(jnp.int32)        # (B, K)
+
+        def gather_rows(x):
+            x = x.reshape(b, k, *x.shape[1:])
+            return jnp.take_along_axis(
+                x, parent.reshape(b, k, *([1] * (x.ndim - 2))), axis=1
+            ).reshape(b * k, *x.shape[2:])
+
+        h = gather_rows(h2)
+        c = gather_rows(c2)
+        preds = jnp.take_along_axis(preds, parent[:, :, None], axis=1)
+        fin_parent = jnp.take_along_axis(fin, parent, axis=1)
+        lens = jnp.take_along_axis(lens, parent, axis=1)
+        # Reference write semantics: active beams record the token
+        # (including a terminating EOS); finished beams stay PAD.
+        write = jnp.where(fin_parent, PAD, token)
+        preds = preds.at[:, :, t].set(write)
+        lens = jnp.where(fin_parent, lens, lens + 1)
+        fin = fin_parent | (token == EOS)
+        emb = apply(AttentiveDecoder.embed, token.reshape(b * k))
+        return t + 1, preds, emb, h, c, top_val, fin, lens
+
+    _, preds, _, _, _, logp, _, lens = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), preds0, emb, h, c, logp0, fin0, lens0))
+
+    if length_penalty > 0:
+        norm = ((5.0 + lens.astype(jnp.float32)) / 6.0) ** length_penalty
+        score = logp / norm
+    else:
+        score = logp
+    best = jnp.argmax(score, axis=1)
+    return jnp.take_along_axis(preds, best[:, None, None], axis=1)[:, 0]

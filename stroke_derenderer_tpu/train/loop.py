@@ -153,6 +153,8 @@ def main(argv=None):
     ap.add_argument("--bin-features", default=None,
                     help="comma list, e.g. 16,32,64")
     ap.add_argument("--encoder-arch", default=None)
+    ap.add_argument("--seq-len", type=int, default=96,
+                    help="teacher-forcing sequence length (captioner)")
     args = ap.parse_args(argv)
 
     bin_kw = {}
@@ -166,7 +168,7 @@ def main(argv=None):
                         args.out, args.lr, args.seed)
     if args.model in ("captioner", "both"):
         train_captioner(StrokesConfig(**se_kw), args.steps, args.batch,
-                        args.out, args.lr, args.seed)
+                        args.out, args.lr, args.seed, seq_len=args.seq_len)
     return 0
 
 
