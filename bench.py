@@ -56,7 +56,7 @@ def build():
 
 
 def measure(platform: str | None = None, n_images: int = N_IMAGES,
-            repeats: int = 3) -> float:
+            repeats: int = 5) -> float:
     import jax
     if platform:
         jax.config.update("jax_platforms", platform)

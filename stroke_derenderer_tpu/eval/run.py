@@ -41,10 +41,14 @@ def evaluate_full(models_dir, n: int = 8, seed: int = 0,
         pred = out[:, :, 0] > (255 * binarizer.config.bin_thr)
         f1s.append(binarization_f1(pred, mask > 0))
 
+    # Stroke metrics across the glyph-group width spectrum: narrow isolated
+    # glyphs through whole-line-wide groups (small resize ratios).
     dtws, chamfers = [], []
-    for _ in range(n):
-        strokes = random_strokes(rng, int(rng.integers(1, 4)), (h, h))
-        mask = rasterize_strokes(strokes, (h, h), thickness=2)
+    widths_cycle = [h, 2 * h, 4 * h]
+    for i in range(n):
+        cw = widths_cycle[i % len(widths_cycle)]
+        strokes = random_strokes(rng, int(rng.integers(1, 4)), (h, cw))
+        mask = rasterize_strokes(strokes, (h, cw), thickness=2)
         pred_strokes = estimator.process_image(mask > 0)
         d = stroke_dtw(pred_strokes, strokes)
         c = strokes_chamfer(pred_strokes, strokes)

@@ -65,6 +65,9 @@ class Binarizer:
             self.variables = load_variables(template, weights_path)
         else:
             self.model, self.variables = init_binarizer_variables(self.config, seed)
+        # Pin params to the default accelerator once (init/deserialization
+        # leaves them on host; without this every call re-uploads them).
+        self.variables = jax.device_put(self.variables, jax.devices()[0])
         self.fused = fused
 
         @jax.jit

@@ -67,6 +67,12 @@ class StrokeEstimator:
         else:
             (_, _, self.enc_vars, self.dec_vars,
              self.proj_vars) = init_strokes_variables(self.config, seed)
+        # Pin params to the default accelerator once (see Binarizer).
+        dev = jax.devices()[0]
+        self.enc_vars = jax.device_put(self.enc_vars, dev)
+        self.dec_vars = jax.device_put(self.dec_vars, dev)
+        if self.proj_vars is not None:
+            self.proj_vars = jax.device_put(self.proj_vars, dev)
 
     # ------------------------------------------------------------------
     @functools.cached_property

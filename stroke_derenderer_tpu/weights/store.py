@@ -31,6 +31,18 @@ from stroke_derenderer_tpu.config import BinarizerConfig, StrokesConfig
 from stroke_derenderer_tpu.models import AttentionUNet, AttentiveDecoder, ResNetEncoder
 
 
+def _init_on_cpu(init_fn, *args):
+    """Run a flax .init on the host CPU backend: random init is tiny
+    compute, but compiling init graphs on a (possibly tunneled) TPU costs
+    minutes per model. Params move to the accelerator lazily at first use."""
+    try:
+        cpu = jax.devices("cpu")[0]
+    except RuntimeError:
+        return init_fn(*args)
+    with jax.default_device(cpu):
+        return init_fn(*args)
+
+
 def save_variables(variables, path: str | Path) -> None:
     Path(path).write_bytes(flax.serialization.to_bytes(variables))
 
@@ -56,7 +68,7 @@ def init_binarizer_variables(config: BinarizerConfig, seed: int = 0):
     model = build_binarizer_model(config)
     rng = jax.random.PRNGKey(seed)
     dummy = jnp.zeros((1, config.height, config.width, config.channels), jnp.float32)
-    return model, model.init(rng, dummy)
+    return model, _init_on_cpu(model.init, rng, dummy)
 
 
 def build_strokes_models(config: StrokesConfig):
@@ -74,18 +86,20 @@ def init_strokes_variables(config: StrokesConfig, seed: int = 0):
     encoder, decoder = build_strokes_models(config)
     rng_e, rng_d, rng_p = jax.random.split(jax.random.PRNGKey(seed), 3)
     img = jnp.zeros((1, config.image_size, config.image_size, 3), jnp.float32)
-    enc_vars = encoder.init(rng_e, img)
+    enc_vars = _init_on_cpu(encoder.init, rng_e, img)
 
     n_pos = config.encode_image_size ** 2
     enc_dim = config.projection_dim or encoder.out_features
-    dec_vars = decoder.init(
-        rng_d, jnp.zeros((1, n_pos, enc_dim)), jnp.zeros((1, 4), jnp.int32))
+    dec_vars = _init_on_cpu(
+        decoder.init, rng_d, jnp.zeros((1, n_pos, enc_dim)),
+        jnp.zeros((1, 4), jnp.int32))
 
     proj_vars = None
     if config.projection_dim:
         import flax.linen as nn
         proj = nn.Dense(config.projection_dim, dtype=jnp.dtype(config.compute_dtype))
-        proj_vars = proj.init(rng_p, jnp.zeros((1, n_pos, encoder.out_features)))
+        proj_vars = _init_on_cpu(
+            proj.init, rng_p, jnp.zeros((1, n_pos, encoder.out_features)))
     return encoder, decoder, enc_vars, dec_vars, proj_vars
 
 
