@@ -87,9 +87,22 @@ def train_binarizer(config: BinarizerConfig, steps: int, batch_size: int,
 def train_captioner(config: StrokesConfig, steps: int, batch_size: int,
                     out_dir: str | Path, lr: float = 3e-4, seed: int = 0,
                     seq_len: int = 96, ckpt_every: int = 200,
-                    log_every: int = 25, glyph_mode: str = "partitioned"):
+                    log_every: int = 25, glyph_mode: str = "partitioned",
+                    init_from: str | Path | None = None):
     encoder, decoder, enc_vars, dec_vars, _ = init_strokes_variables(config, seed)
     params = {"encoder": enc_vars["params"], "decoder": dec_vars["params"]}
+    if init_from is not None:
+        from stroke_derenderer_tpu.weights.store import load_variables
+        p = Path(init_from)
+        params = {
+            "encoder": load_variables(
+                {"params": params["encoder"]},
+                p / "strokes_encoder.msgpack")["params"],
+            "decoder": load_variables(
+                {"params": params["decoder"]},
+                p / "strokes_decoder.msgpack")["params"],
+        }
+        log.info("warm-started captioner from %s", p)
     tx = optax.adamw(optax.warmup_cosine_decay_schedule(
         0.0, lr, min(100, steps // 10 + 1), steps))
     opt_state = tx.init(params)
@@ -155,6 +168,8 @@ def main(argv=None):
     ap.add_argument("--encoder-arch", default=None)
     ap.add_argument("--seq-len", type=int, default=96,
                     help="teacher-forcing sequence length (captioner)")
+    ap.add_argument("--init-from", default=None, metavar="MODELDIR",
+                    help="warm-start captioner params from a model dir")
     args = ap.parse_args(argv)
 
     bin_kw = {}
@@ -168,7 +183,8 @@ def main(argv=None):
                         args.out, args.lr, args.seed)
     if args.model in ("captioner", "both"):
         train_captioner(StrokesConfig(**se_kw), args.steps, args.batch,
-                        args.out, args.lr, args.seed, seq_len=args.seq_len)
+                        args.out, args.lr, args.seed, seq_len=args.seq_len,
+                        init_from=args.init_from)
     return 0
 
 
