@@ -45,14 +45,22 @@ def parse_args(argv=None):
                         help="Throughput mode: batch ALL images' tiles and "
                              "glyphs into shared device programs (the "
                              "reference can only loop per image).")
+    parser.add_argument("--decode", choices=["greedy", "beam"], default=None,
+                        help="Decoding strategy (default: model config / "
+                             "greedy; the reference is greedy-only).")
+    parser.add_argument("--beam-size", type=int, default=None,
+                        help="Beam width for --decode beam.")
     return parser.parse_args(argv)
 
 
-def initialize_sessions(folderpath, fused: bool = False):
+def initialize_sessions(folderpath, fused: bool = False,
+                        se_overrides: dict | None = None):
     """Build both pipelines from a model directory (reference main.py:33-64).
 
     Missing weight files fall back to random init with a warning so the
-    pipeline stays runnable end-to-end.
+    pipeline stays runnable end-to-end. ``se_overrides`` are StrokesConfig
+    field overrides that win over the model dir's config JSON (used by the
+    --decode/--beam-size CLI flags).
     """
     folder = Path(folderpath) if folderpath else None
 
@@ -69,6 +77,9 @@ def initialize_sessions(folderpath, fused: bool = False):
 
     se_cfg_path = _opt("configs_strokes.json")
     se_cfg = StrokesConfig.from_json(se_cfg_path)
+    if se_overrides:
+        import dataclasses
+        se_cfg = dataclasses.replace(se_cfg, **se_overrides)
     paths = {}
     enc_w, dec_w = _opt("strokes_encoder.msgpack"), _opt("strokes_decoder.msgpack")
     if enc_w and dec_w:
@@ -174,7 +185,13 @@ def entrypoint(argv=None):
 
     img_filepaths = sorted(Path(args.input).glob("*.png"))
     imgs = load_images(img_filepaths)
-    binarizer, estimator = initialize_sessions(args.models, fused=args.fused)
+    se_overrides = {}
+    if args.decode:
+        se_overrides["decode"] = args.decode
+    if args.beam_size:
+        se_overrides["beam_size"] = args.beam_size
+    binarizer, estimator = initialize_sessions(args.models, fused=args.fused,
+                                               se_overrides=se_overrides)
     runner = run_batched if args.batch else run
     runner(imgs, binarizer, estimator, args.output, strokes=not args.no_strokes)
     return 0

@@ -98,6 +98,13 @@ class StrokesConfig:
     decoder_dim: int = 512
     projection_dim: int = 0  # 0 = no projection (reference projection.onnx is optional)
 
+    # Decoding strategy (new: the reference is greedy-only,
+    # evaluate_strokes.py:289). "beam" trades ~beam_size x decode compute
+    # for higher-likelihood stroke sequences.
+    decode: str = "greedy"  # "greedy" | "beam"
+    beam_size: int = 5
+    length_penalty: float = 0.0  # GNMT length normalization (beam only)
+
     # TPU execution.
     compute_dtype: str = "bfloat16"
     glyph_bucket: int = 8  # pad glyph-batch to a multiple of this

@@ -20,7 +20,7 @@ from stroke_derenderer_tpu.eval import binarization_f1, stroke_dtw, strokes_cham
 
 
 def evaluate_full(models_dir, n: int = 8, seed: int = 0,
-                  width: int = 1152) -> dict:
+                  width: int = 1152, se_overrides: dict | None = None) -> dict:
     """Full metrics: binarization F1 on rendered lines, stroke DTW/chamfer on
     glyph-sized samples with known ground-truth polylines."""
     from stroke_derenderer_tpu.data.synthetic import (
@@ -28,7 +28,8 @@ def evaluate_full(models_dir, n: int = 8, seed: int = 0,
     )
 
     rng = np.random.default_rng(seed)
-    binarizer, estimator = initialize_sessions(models_dir)
+    binarizer, estimator = initialize_sessions(models_dir,
+                                               se_overrides=se_overrides)
     h = binarizer.config.height
 
     f1s = []
@@ -73,8 +74,16 @@ def main(argv=None):
     ap.add_argument("--models", required=True)
     ap.add_argument("--n", type=int, default=8)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--decode", choices=["greedy", "beam"], default=None)
+    ap.add_argument("--beam-size", type=int, default=None)
     args = ap.parse_args(argv)
-    print(json.dumps(evaluate_full(args.models, args.n, args.seed)))
+    ov = {}
+    if args.decode:
+        ov["decode"] = args.decode
+    if args.beam_size:
+        ov["beam_size"] = args.beam_size
+    print(json.dumps(evaluate_full(args.models, args.n, args.seed,
+                                   se_overrides=ov or None)))
     return 0
 
 

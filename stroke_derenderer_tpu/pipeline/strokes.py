@@ -24,7 +24,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from stroke_derenderer_tpu.config import StrokesConfig
-from stroke_derenderer_tpu.models import encode_postprocess, greedy_decode
+from stroke_derenderer_tpu.models import (
+    beam_decode, encode_postprocess, greedy_decode,
+)
 from stroke_derenderer_tpu.ops import grouping
 from stroke_derenderer_tpu.ops.normalize import imagenet_normalize_np, minmax_normalize_np
 from stroke_derenderer_tpu.ops.strokes import (
@@ -105,6 +107,10 @@ class StrokeEstimator:
             # production shapes (B<=80, P=196, E=2048) the XLA while_loop
             # step wins (0.29 ms/step full step vs 2.8 ms/call kernel) —
             # these matmuls are too small for the kernel's grid overheads.
+            if cfg.decode == "beam":
+                return beam_decode(self.decoder, dec_vars, seq, max_length,
+                                   beam_size=cfg.beam_size,
+                                   length_penalty=cfg.length_penalty)
             fused = self.config.fused_decode and jax.default_backend() == "tpu"
             return greedy_decode(self.decoder, dec_vars, seq, max_length,
                                  fused=fused)

@@ -132,3 +132,28 @@ def test_weights_roundtrip(tmp_path):
     # Same weights -> same outputs across two independent loads.
     binarizer2, _ = initialize_sessions(tmp_path)
     assert np.array_equal(out, binarizer2.binarize_image(img))
+
+
+def test_beam_decode_pipeline_path(estimator):
+    """decode="beam" in the config must route the whole pipeline through
+    beam_decode; beam_size=1 must reproduce the greedy tokens exactly."""
+    import dataclasses
+    mask = _line_image()[:, :, 0] < 128
+    greedy = estimator.process_image(mask, max_length=12)
+
+    beam1 = StrokeEstimator(
+        dataclasses.replace(TINY_SE, decode="beam", beam_size=1),
+        variables=(estimator.enc_vars, estimator.dec_vars,
+                   estimator.proj_vars))
+    b1 = beam1.process_image(mask, max_length=12)
+    assert len(b1) == len(greedy)
+    for (gx, gy), (bx, by) in zip(greedy, b1):
+        assert np.array_equal(gx, bx) and np.array_equal(gy, by)
+
+    # A wider beam still produces well-formed, transformable strokes.
+    beam3 = StrokeEstimator(
+        dataclasses.replace(TINY_SE, decode="beam", beam_size=3),
+        variables=(estimator.enc_vars, estimator.dec_vars,
+                   estimator.proj_vars))
+    for x, y in beam3.process_image(mask, max_length=12):
+        assert x.shape == y.shape
