@@ -56,7 +56,7 @@ def build():
 
 
 def measure(platform: str | None = None, n_images: int = N_IMAGES,
-            repeats: int = 5) -> float:
+            repeats: int = 5, stages: bool = False) -> float | tuple:
     import jax
     if platform:
         jax.config.update("jax_platforms", platform)
@@ -80,7 +80,19 @@ def measure(platform: str | None = None, n_images: int = N_IMAGES,
         binarizer.binarize_images(imgs)
         estimator.process_images(clean_masks, max_length=DECODE_STEPS)
         best = min(best, (time.time() - t0) / len(imgs))
-    return 1.0 / best
+    if not stages:
+        return 1.0 / best
+
+    # Per-stage split (same warmed programs): binarize-only and strokes-only.
+    best_bin = best_se = float("inf")
+    for _ in range(repeats):
+        t0 = time.time()
+        binarizer.binarize_images(imgs)
+        best_bin = min(best_bin, (time.time() - t0) / len(imgs))
+        t0 = time.time()
+        estimator.process_images(clean_masks, max_length=DECODE_STEPS)
+        best_se = min(best_se, (time.time() - t0) / len(imgs))
+    return 1.0 / best, 1.0 / best_bin, 1.0 / best_se
 
 
 def main():
@@ -94,7 +106,16 @@ def main():
         print(json.dumps({"cpu_images_per_sec": round(ips, 4)}))
         return
 
-    ips = measure()  # default platform: the real TPU chip
+    ips, bin_ips, se_ips = measure(stages=True)  # default platform: real TPU
+    try:  # per-stage numbers for regression tracking (never on stdout)
+        with open("BENCH_STAGES.json", "w") as f:
+            json.dump({"e2e_ips": round(ips, 4),
+                       "binarize_only_ips": round(bin_ips, 4),
+                       "strokes_only_ips": round(se_ips, 4),
+                       "n_images": N_IMAGES,
+                       "decode_steps": DECODE_STEPS}, f)
+    except OSError:
+        pass
     base = CPU_BASELINE_IPS
     if base is None:
         print("[bench] no pinned CPU baseline; measuring live...",

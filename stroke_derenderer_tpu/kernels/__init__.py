@@ -1,3 +1,6 @@
 from stroke_derenderer_tpu.kernels.decode_attention import (  # noqa: F401
     fused_attention_gate, fused_attention_gate_reference,
 )
+from stroke_derenderer_tpu.kernels.fused_decode import (  # noqa: F401
+    fused_greedy_decode, pack_decoder_weights,
+)

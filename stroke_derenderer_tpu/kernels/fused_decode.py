@@ -1,0 +1,255 @@
+"""Pallas TPU kernel: the ENTIRE greedy decode loop fused into one kernel.
+
+The reference drives its decoder with up to 768 host->ONNX calls per image
+(two graphs x <=384 steps, evaluate_strokes.py:279-302). Our XLA baseline
+already fuses that into one on-device ``lax.while_loop``
+(models/decoder.py greedy_decode), but at production shapes (B<=80 rows,
+P=196 positions, E=A=H=512) each while-loop iteration is ~10 small HLOs
+whose dispatch/latency — not FLOPs — dominates: ~0.29 ms/step measured on
+v5e, ~111 ms for a full 384-step decode.
+
+This kernel runs ALL decode steps for a block of rows in one Pallas program:
+
+  * the encoder sequence, its attention projection, and EVERY decoder
+    weight matrix (attention, gate, LSTM, vocab head, embedding table) stay
+    VMEM-resident for the whole loop — zero HBM traffic per step;
+  * each step is: additive attention (masked softmax over padded P),
+    sigmoid-gated attended vector, one fused LSTM matmul pair
+    (x @ Wx + h @ Wh -> 4 gates), vocab head, argmax, embedding gather as a
+    one-hot MXU matmul;
+  * retired rows (those that emitted EOS) freeze their h/c/emb and write
+    PAD, exactly like greedy_decode's masked retirement — write semantics
+    identical to the reference's shrinking-batch loop;
+  * the loop is a ``lax.while_loop`` with the same global early-exit.
+
+Weight-layout contract (see ``pack_decoder_weights``): flax LSTMCell stores
+four input kernels ``ii,if,ig,io`` (no bias) and four hidden kernels
+``hi,hf,hg,ho`` (with bias); gate math is i,f,g,o with
+c' = sig(f)*c + sig(i)*tanh(g), h' = sig(o)*tanh(c'). We concatenate them
+into Wx (D+E, 4H), Wh (H, 4H), b (4H,) and slice gates at lane-aligned
+multiples of H inside the kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from stroke_derenderer_tpu.config import BOS, EOS, PAD
+
+NEG_INF = -1e30
+
+
+def _round_up(n: int, m: int) -> int:
+    return -(-n // m) * m
+
+
+def pack_decoder_weights(params: dict) -> dict:
+    """Decoder param tree -> the dense, lane-aligned tensors the kernel
+    consumes. Padding: vocab -> multiple of 128 with NEG_INF logit bias so
+    argmax can never select a pad token; embedding table rows likewise."""
+    lstm = params["lstm"]
+    wx = jnp.concatenate([lstm[g]["kernel"] for g in ("ii", "if", "ig", "io")],
+                         axis=1)                        # (D+E, 4H)
+    wh = jnp.concatenate([lstm[g]["kernel"] for g in ("hi", "hf", "hg", "ho")],
+                         axis=1)                        # (H, 4H)
+    bh = jnp.concatenate([lstm[g]["bias"] for g in ("hi", "hf", "hg", "ho")])
+
+    emb = params["embedding"]["embedding"]              # (V, D)
+    fc_w, fc_b = params["fc"]["kernel"], params["fc"]["bias"]  # (H, V), (V,)
+    v, d = emb.shape
+    vp = _round_up(v, 128)
+    if vp != v:
+        emb = jnp.pad(emb, ((0, vp - v), (0, 0)))
+        fc_w = jnp.pad(fc_w, ((0, 0), (0, vp - v)))
+        fc_b = jnp.pad(fc_b, ((0, vp - v),), constant_values=NEG_INF)
+
+    return {
+        "watt": params["dec_att"]["kernel"],            # (H, A)
+        "batt": params["dec_att"]["bias"][None, :],     # (1, A)
+        "v": params["full_att"]["kernel"],              # (A, 1)
+        "wf": params["f_beta"]["kernel"],               # (H, E)
+        "bf": params["f_beta"]["bias"][None, :],        # (1, E)
+        "wx": wx, "wh": wh, "blstm": bh[None, :],       # (1, 4H)
+        "emb": emb,                                     # (Vp, D)
+        "wfc": fc_w, "bfc": fc_b[None, :],              # (H, Vp), (1, Vp)
+    }
+
+
+def _kernel(enc_ref, proj_ref, h0_ref, c0_ref, pmask_ref,
+            watt_ref, batt_ref, v_ref, wf_ref, bf_ref,
+            wx_ref, wh_ref, blstm_ref, emb_ref, wfc_ref, bfc_ref,
+            preds_ref, alpha_ref, *, max_length: int, hdim: int):
+    bt, pp, e = enc_ref.shape
+    vp = emb_ref.shape[0]
+    cdt = enc_ref.dtype  # compute/stream dtype (bf16 in production)
+
+    def embed(tok):
+        # Embedding gather as a one-hot matmul: (Bt, Vp) @ (Vp, D) on MXU.
+        onehot = (jax.lax.broadcasted_iota(jnp.int32, (bt, vp), 1)
+                  == tok).astype(cdt)
+        return jnp.dot(onehot, emb_ref[:],
+                       preferred_element_type=jnp.float32)
+
+    preds_ref[:] = jnp.full((bt, max_length), PAD, jnp.int32)
+
+    def step(state):
+        t, h, c, emb, active = state
+        hc = h.astype(cdt)
+
+        # --- additive attention over the VMEM-resident encoder sequence.
+        dec_proj = jnp.dot(hc, watt_ref[:],
+                           preferred_element_type=jnp.float32) + batt_ref[:]
+        att = jnp.maximum(
+            proj_ref[:].astype(jnp.float32) + dec_proj[:, None, :], 0.0)
+        scores = jnp.dot(att.reshape(bt * pp, -1).astype(cdt), v_ref[:],
+                         preferred_element_type=jnp.float32).reshape(bt, pp)
+        scores = jnp.where(pmask_ref[:] > 0, scores, NEG_INF)
+        scores = scores - jnp.max(scores, axis=1, keepdims=True)
+        ex = jnp.exp(scores)
+        alpha_ref[:] = ex / jnp.sum(ex, axis=1, keepdims=True)
+
+        # --- attended vector, accumulated on the VPU in 128-lane chunks
+        # (values can't be dynamically sliced in Mosaic; re-read alpha from
+        # its ref — same trick as kernels/decode_attention.py).
+        def acc_body(k, awe):
+            p0 = pl.multiple_of(k * 128, 128)
+            blk = enc_ref[:, pl.ds(p0, 128), :].astype(jnp.float32)
+            al = alpha_ref[:, pl.ds(p0, 128)]
+            return awe + jnp.sum(al.reshape(bt, 128, 1) * blk, axis=1)
+
+        awe = jax.lax.fori_loop(0, pp // 128, acc_body,
+                                jnp.zeros((bt, e), jnp.float32))
+        gate = jax.nn.sigmoid(
+            jnp.dot(hc, wf_ref[:], preferred_element_type=jnp.float32)
+            + bf_ref[:])
+        awe = gate * awe
+
+        # --- fused LSTM: [emb; awe] @ Wx + h @ Wh + b -> i,f,g,o.
+        x = jnp.concatenate([emb.astype(cdt), awe.astype(cdt)], axis=-1)
+        gates = (jnp.dot(x, wx_ref[:], preferred_element_type=jnp.float32)
+                 + jnp.dot(hc, wh_ref[:], preferred_element_type=jnp.float32)
+                 + blstm_ref[:])
+        i = jax.nn.sigmoid(gates[:, :hdim])
+        f = jax.nn.sigmoid(gates[:, hdim:2 * hdim])
+        g = jnp.tanh(gates[:, 2 * hdim:3 * hdim])
+        o = jax.nn.sigmoid(gates[:, 3 * hdim:])
+        c2 = f * c + i * g
+        h2 = o * jnp.tanh(c2)
+
+        # --- vocab head + greedy argmax (pad logits carry NEG_INF bias).
+        logits = (jnp.dot(h2.astype(cdt), wfc_ref[:],
+                          preferred_element_type=jnp.float32) + bfc_ref[:])
+        tok = jnp.argmax(logits, axis=-1, keepdims=True).astype(jnp.int32)
+
+        # --- reference write semantics: active rows record their token
+        # (including the terminating EOS); retired rows stay PAD and
+        # freeze their h/c/emb (models/decoder.py greedy_decode).
+        write = jnp.where(active, tok, PAD)
+        preds_ref[:, pl.ds(t, 1)] = write
+        emb2 = embed(tok)
+        h = jnp.where(active, h2, h)
+        c = jnp.where(active, c2, c)
+        emb = jnp.where(active, emb2, emb)
+        active = jnp.logical_and(active, tok != EOS)
+        return t + 1, h, c, emb, active
+
+    def cond(state):
+        t, _, _, _, active = state
+        return jnp.logical_and(t < max_length, jnp.any(active))
+
+    emb0 = embed(jnp.full((bt, 1), BOS, jnp.int32))
+    jax.lax.while_loop(
+        cond, step,
+        (jnp.int32(0), h0_ref[:].astype(jnp.float32),
+         c0_ref[:].astype(jnp.float32), emb0,
+         jnp.ones((bt, 1), jnp.bool_)))
+
+
+@functools.partial(jax.jit, static_argnames=("max_length", "block_b",
+                                              "interpret", "stream_dtype"))
+def _fused_greedy_decode_tpu(enc, enc_proj, h0, c0, packed, max_length: int,
+                             block_b: int = 8, interpret: bool = False,
+                             stream_dtype: str = "bfloat16"):
+    b, p, e = enc.shape
+    a = enc_proj.shape[-1]
+    hdim = h0.shape[-1]
+    pp = _round_up(p, 128)
+    bp = _round_up(b, block_b)
+    mlp = _round_up(max_length, 128)  # int32 lane alignment for preds
+
+    cdt = jnp.dtype(stream_dtype)
+    enc = enc.astype(cdt)
+    enc_proj = enc_proj.astype(cdt)
+    h0, c0 = h0.astype(jnp.float32), c0.astype(jnp.float32)
+    packed = {k: w.astype(cdt) for k, w in packed.items()}
+    if (pp, bp) != (p, b):
+        enc = jnp.pad(enc, ((0, bp - b), (0, pp - p), (0, 0)))
+        enc_proj = jnp.pad(enc_proj, ((0, bp - b), (0, pp - p), (0, 0)))
+        h0 = jnp.pad(h0, ((0, bp - b), (0, 0)))
+        c0 = jnp.pad(c0, ((0, bp - b), (0, 0)))
+    pmask = (jnp.arange(pp) < p).astype(jnp.float32)[None, :]
+
+    const = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                                       memory_space=pltpu.VMEM)
+    kern = functools.partial(_kernel, max_length=mlp, hdim=hdim)
+    preds, _ = pl.pallas_call(
+        kern,
+        grid=(bp // block_b,),
+        in_specs=[
+            pl.BlockSpec((block_b, pp, e), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, pp, a), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, hdim), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, hdim), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            const((1, pp)),
+            const(packed["watt"].shape), const(packed["batt"].shape),
+            const(packed["v"].shape), const(packed["wf"].shape),
+            const(packed["bf"].shape), const(packed["wx"].shape),
+            const(packed["wh"].shape), const(packed["blstm"].shape),
+            const(packed["emb"].shape), const(packed["wfc"].shape),
+            const(packed["bfc"].shape),
+        ],
+        out_specs=(
+            pl.BlockSpec((block_b, mlp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_b, pp), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((bp, mlp), jnp.int32),
+            jax.ShapeDtypeStruct((bp, pp), jnp.float32),  # alpha scratch
+        ),
+        interpret=interpret,
+    )(enc, enc_proj, h0, c0, pmask,
+      packed["watt"], packed["batt"], packed["v"], packed["wf"],
+      packed["bf"], packed["wx"], packed["wh"], packed["blstm"],
+      packed["emb"], packed["wfc"], packed["bfc"])
+    return preds[:b, :max_length]
+
+
+def fused_greedy_decode(decoder, variables, enc_seq, max_length: int,
+                        block_b: int = 8, interpret: bool | None = None):
+    """Drop-in replacement for models.greedy_decode: same (B, max_length)
+    int32 output contract, whole decode in one Pallas program. Falls back to
+    the XLA while_loop off-TPU unless ``interpret=True``."""
+    from stroke_derenderer_tpu.models.decoder import (
+        AttentiveDecoder, greedy_decode,
+    )
+    if not (interpret or jax.default_backend() == "tpu"):
+        return greedy_decode(decoder, variables, enc_seq, max_length)
+    apply = lambda method, *a: decoder.apply(variables, *a, method=method)
+    enc_proj = apply(AttentiveDecoder.project_encoding, enc_seq)
+    h0, c0 = apply(AttentiveDecoder.init_state, enc_seq)
+    packed = pack_decoder_weights(variables["params"])
+    return _fused_greedy_decode_tpu(enc_seq, enc_proj, h0, c0, packed,
+                                    max_length, block_b=block_b,
+                                    interpret=bool(interpret),
+                                    stream_dtype=jnp.dtype(decoder.dtype).name)

@@ -111,9 +111,14 @@ class StrokeEstimator:
                 return beam_decode(self.decoder, dec_vars, seq, max_length,
                                    beam_size=cfg.beam_size,
                                    length_penalty=cfg.length_penalty)
-            fused = self.config.fused_decode and jax.default_backend() == "tpu"
-            return greedy_decode(self.decoder, dec_vars, seq, max_length,
-                                 fused=fused)
+            if cfg.fused_decode and jax.default_backend() == "tpu":
+                # The WHOLE decode loop as one Pallas program with the
+                # encoder sequence and decoder weights VMEM-resident
+                # (kernels/fused_decode.py).
+                from stroke_derenderer_tpu.kernels import fused_greedy_decode
+                return fused_greedy_decode(self.decoder, dec_vars, seq,
+                                           max_length)
+            return greedy_decode(self.decoder, dec_vars, seq, max_length)
 
         return run
 

@@ -58,3 +58,56 @@ def test_fused_greedy_decode_matches_unfused():
     a = np.asarray(greedy_decode(dec, v, enc, 16, fused=False))
     b = np.asarray(greedy_decode(dec, v, enc, 16, fused=True))
     assert np.array_equal(a, b)
+
+
+# ---------------------------------------------------------------------------
+# Fully-fused decode kernel (kernels/fused_decode.py, interpret mode)
+
+def _tiny_decoder(vocab=31, e=12, h=8, seed=0):
+    dec = AttentiveDecoder(vocab_size=vocab, embed_dim=8, attention_dim=8,
+                           decoder_dim=h, encoder_dim=e, dtype=jnp.float32)
+    v = dec.init(jax.random.PRNGKey(seed), jnp.zeros((1, 9, e)),
+                 jnp.zeros((1, 3), jnp.int32))
+    return dec, v
+
+
+def test_fused_decode_kernel_matches_greedy():
+    from stroke_derenderer_tpu.kernels import fused_greedy_decode
+    dec, v = _tiny_decoder()
+    enc = jax.random.normal(jax.random.PRNGKey(1), (5, 9, 12))
+    g = np.asarray(greedy_decode(dec, v, enc, 14))
+    f = np.asarray(fused_greedy_decode(dec, v, enc, 14, block_b=4,
+                                       interpret=True))
+    assert np.array_equal(g, f)
+
+
+def test_fused_decode_kernel_block_padding():
+    """B not a multiple of block_b: padded rows must not perturb real ones."""
+    from stroke_derenderer_tpu.kernels import fused_greedy_decode
+    dec, v = _tiny_decoder(seed=3)
+    enc = jax.random.normal(jax.random.PRNGKey(4), (3, 9, 12))
+    g = np.asarray(greedy_decode(dec, v, enc, 10))
+    f = np.asarray(fused_greedy_decode(dec, v, enc, 10, block_b=8,
+                                       interpret=True))
+    assert np.array_equal(g, f)
+
+
+def test_fused_decode_kernel_eos_retirement():
+    """Rows that emit EOS must freeze to PAD afterwards (reference write
+    semantics, evaluate_strokes.py:274-302)."""
+    from stroke_derenderer_tpu.config import EOS, PAD
+    from stroke_derenderer_tpu.kernels import fused_greedy_decode
+    # Search seeds for a case where some row emits EOS mid-sequence.
+    for seed in range(12):
+        dec, v = _tiny_decoder(vocab=7, seed=seed)
+        enc = jax.random.normal(jax.random.PRNGKey(seed + 100), (6, 9, 12))
+        f = np.asarray(fused_greedy_decode(dec, v, enc, 12, block_b=4,
+                                           interpret=True))
+        g = np.asarray(greedy_decode(dec, v, enc, 12))
+        assert np.array_equal(g, f)
+        for row in f:
+            hits = np.nonzero(row == EOS)[0]
+            if hits.size:
+                assert np.all(row[hits[0] + 1:] == PAD)
+                return  # found and verified an EOS case
+    raise AssertionError("no EOS case found across seeds")
