@@ -50,6 +50,9 @@ def parse_args(argv=None):
                              "greedy; the reference is greedy-only).")
     parser.add_argument("--beam-size", type=int, default=None,
                         help="Beam width for --decode beam.")
+    parser.add_argument("--device-partition", action="store_true",
+                        help="Materialize glyph crops on device (group-id "
+                             "image + MXU resize; ops/device_partition.py).")
     return parser.parse_args(argv)
 
 
@@ -190,6 +193,8 @@ def entrypoint(argv=None):
         se_overrides["decode"] = args.decode
     if args.beam_size:
         se_overrides["beam_size"] = args.beam_size
+    if args.device_partition:
+        se_overrides["device_partition"] = True
     binarizer, estimator = initialize_sessions(args.models, fused=args.fused,
                                                se_overrides=se_overrides)
     runner = run_batched if args.batch else run

@@ -108,6 +108,10 @@ class StrokesConfig:
     # TPU execution.
     compute_dtype: str = "bfloat16"
     glyph_bucket: int = 8  # pad glyph-batch to a multiple of this
+    # Materialize glyph crops ON DEVICE (composite+resize+pad as batched
+    # MXU matmuls from a group-id image, ops/device_partition.py) instead
+    # of per-group host resizes + crop upload.
+    device_partition: bool = False
     # Route decode attention through the Pallas kernel
     # (kernels/decode_attention.py). Off by default: measured slower than
     # the XLA step at these shapes on v5e (see pipeline/strokes.py).

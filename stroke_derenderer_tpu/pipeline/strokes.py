@@ -77,48 +77,71 @@ class StrokeEstimator:
             self.proj_vars = jax.device_put(self.proj_vars, dev)
 
     # ------------------------------------------------------------------
-    @functools.cached_property
-    def _estimate(self):
+    def _normalize_raw(self, x):
+        """(N, H, W) float32 crops in raw 0..255 scale -> normalized NHWC
+        model input: per-crop min-max rescale + ImageNet mean/std +
+        3-channel broadcast (fuses into the encoder's first conv)."""
         cfg = self.config
         mean = jnp.asarray(cfg.mean, jnp.float32)
         std = jnp.asarray(cfg.std, jnp.float32)
+        mn = x.min(axis=(1, 2), keepdims=True)
+        mx = x.max(axis=(1, 2), keepdims=True)
+        x = jnp.where(mx > mn,
+                      (x - mn) * (255.0 / jnp.maximum(mx - mn, 1e-12)), 0.0)
+        return (x[..., None] / 255.0 - mean) / std
 
+    def _encode_and_decode(self, enc_vars, dec_vars, proj_vars, images,
+                           max_length):
+        """Normalized NHWC crops -> token matrix (shared program tail)."""
+        cfg = self.config
+        fm = self.encoder.apply(enc_vars, images)            # (B, 7, 7, C)
+        seq = encode_postprocess(fm, cfg.encode_image_size)  # (B, 196, C)
+        if self.proj is not None:
+            seq = self.proj.apply(proj_vars, seq)
+        # The decode loop re-reads the (B, 196, E) sequence every step;
+        # streaming it in the compute dtype (bf16) is ~2.6x faster at
+        # B=80 with negligible effect on trained-model argmax.
+        seq = seq.astype(jnp.dtype(cfg.compute_dtype))
+        if cfg.decode == "beam":
+            return beam_decode(self.decoder, dec_vars, seq, max_length,
+                               beam_size=cfg.beam_size,
+                               length_penalty=cfg.length_penalty)
+        if cfg.fused_decode and jax.default_backend() == "tpu":
+            # The WHOLE decode loop as one Pallas program with the
+            # encoder sequence and decoder weights VMEM-resident
+            # (kernels/fused_decode.py).
+            from stroke_derenderer_tpu.kernels import fused_greedy_decode
+            return fused_greedy_decode(self.decoder, dec_vars, seq,
+                                       max_length)
+        return greedy_decode(self.decoder, dec_vars, seq, max_length)
+
+    @functools.cached_property
+    def _estimate(self):
         @functools.partial(jax.jit, static_argnames=("max_length",))
         def run(enc_vars, dec_vars, proj_vars, images, max_length):
             if images.dtype == jnp.uint8:
-                # Device-side normalization: crops travel host->device as
-                # single-channel uint8 (12x less tunnel traffic than f32
-                # RGB); min-max rescale + ImageNet mean/std + 3-channel
-                # broadcast fuse into the encoder's first conv.
-                x = images.astype(jnp.float32)
-                mn = x.min(axis=(1, 2), keepdims=True)
-                mx = x.max(axis=(1, 2), keepdims=True)
-                x = jnp.where(mx > mn, (x - mn) * (255.0 / jnp.maximum(mx - mn, 1e-12)), 0.0)
-                images = (x[..., None] / 255.0 - mean) / std
-            fm = self.encoder.apply(enc_vars, images)          # (B, 7, 7, C)
-            seq = encode_postprocess(fm, cfg.encode_image_size)  # (B, 196, C)
-            if self.proj is not None:
-                seq = self.proj.apply(proj_vars, seq)
-            # The decode loop re-reads the (B, 196, E) sequence every step;
-            # streaming it in the compute dtype (bf16) is ~2.6x faster at
-            # B=80 with negligible effect on trained-model argmax.
-            seq = seq.astype(jnp.dtype(cfg.compute_dtype))
-            # Pallas fused attention is opt-in: measured on v5e at the
-            # production shapes (B<=80, P=196, E=2048) the XLA while_loop
-            # step wins (0.29 ms/step full step vs 2.8 ms/call kernel) —
-            # these matmuls are too small for the kernel's grid overheads.
-            if cfg.decode == "beam":
-                return beam_decode(self.decoder, dec_vars, seq, max_length,
-                                   beam_size=cfg.beam_size,
-                                   length_penalty=cfg.length_penalty)
-            if cfg.fused_decode and jax.default_backend() == "tpu":
-                # The WHOLE decode loop as one Pallas program with the
-                # encoder sequence and decoder weights VMEM-resident
-                # (kernels/fused_decode.py).
-                from stroke_derenderer_tpu.kernels import fused_greedy_decode
-                return fused_greedy_decode(self.decoder, dec_vars, seq,
-                                           max_length)
-            return greedy_decode(self.decoder, dec_vars, seq, max_length)
+                # Crops travel host->device as single-channel uint8 (12x
+                # less tunnel traffic than f32 RGB); normalized on device.
+                images = self._normalize_raw(images.astype(jnp.float32))
+            return self._encode_and_decode(enc_vars, dec_vars, proj_vars,
+                                           images, max_length)
+
+        return run
+
+    @functools.cached_property
+    def _estimate_partitioned(self):
+        """Device-partitioned program: group-id image + interpolation rows
+        in, tokens out — crop compositing/resize/pad, normalization,
+        encoding, and decoding in ONE device program
+        (ops/device_partition.py)."""
+        from stroke_derenderer_tpu.ops.device_partition import gather_crops
+
+        @functools.partial(jax.jit, static_argnames=("max_length",))
+        def run(enc_vars, dec_vars, proj_vars, gid_img, coords, max_length):
+            crops = gather_crops(gid_img, *coords)     # (N, S, S) f32 0..255
+            images = self._normalize_raw(crops)
+            return self._encode_and_decode(enc_vars, dec_vars, proj_vars,
+                                           images, max_length)
 
         return run
 
@@ -159,9 +182,42 @@ class StrokeEstimator:
             strokes += s
         return sort_strokes(strokes)
 
+    def _process_image_device(self, img_bin, max_length: int | None):
+        """Device-partitioned variant of process_image: host ships a group-id
+        image + per-group interpolation rows; crops never exist on the host
+        (ops/device_partition.py)."""
+        from stroke_derenderer_tpu.ops.device_partition import plan_partitions
+        cfg = self.config
+        img_bin = np.asarray(img_bin)
+        if img_bin.ndim == 3:
+            img_bin = img_bin[:, :, 0]
+        plan = plan_partitions(img_bin, cfg.margin, cfg.image_size)
+        if plan is None:
+            return []
+        n = len(plan.partitions)
+        nb = _round_up(n, cfg.glyph_bucket)
+        wb = _round_up(img_bin.shape[1], 256)  # width bucket bounds recompiles
+        gid = np.full((img_bin.shape[0], wb), -1, np.int16)
+        gid[:, :img_bin.shape[1]] = plan.gid_img
+
+        def _pad_rows(a):
+            out = np.zeros((nb,) + a.shape[1:], a.dtype)
+            out[:n] = a
+            return out
+
+        coords = tuple(_pad_rows(getattr(plan, k)) for k in
+                       ("yi0", "yi1", "wy0", "wy1",
+                        "xi0", "xi1", "wx0", "wx1"))
+        preds = self._estimate_partitioned(
+            self.enc_vars, self.dec_vars, self.proj_vars, gid, coords,
+            max_length or cfg.max_length)
+        return self.process_tokens(np.asarray(preds[:n]), plan.partitions)
+
     def process_image(self, img_bin: np.ndarray, max_length: int | None = None):
         """Binarized image -> ordered strokes in the binarized image's
         coordinate frame (reference evaluate_strokes.py:163-183)."""
+        if self.config.device_partition:
+            return self._process_image_device(img_bin, max_length)
         partitions = self.get_partitions(img_bin)
         if not partitions:
             return []
@@ -174,6 +230,10 @@ class StrokeEstimator:
         """Cross-image batching: the glyph crops of EVERY image run through
         one encoder + decode program (the reference is strictly per-image).
         Returns one stroke list per input image."""
+        if self.config.device_partition:
+            # Device partitioning is per-image (group ids are image-local).
+            return [self._process_image_device(m, max_length)
+                    for m in imgs_bin]
         all_parts = [self.get_partitions(m) for m in imgs_bin]
         counts = [len(p) for p in all_parts]
         if sum(counts) == 0:
