@@ -147,17 +147,36 @@ def plan_partitions(img_bin: np.ndarray, margin: int, out_size: int
         **{k: np.stack(v) for k, v in rows.items()})
 
 
+def gather_crops_batched(gid_stack, img_idx, local_id,
+                         yi0, yi1, wy0, wy1, xi0, xi1, wx0, wx1):
+    """Cross-image variant: ``gid_stack`` (I, H, W) holds every image's
+    group-id image (width-padded with -1), ``img_idx``/``local_id`` (N,)
+    map each glyph row to its source image and its image-local group id.
+    Returns (N, S, S) float32 crops — ONE device program for a whole batch
+    of images (the host-crop path's cross-image batching, without crops)."""
+    src_imgs = jnp.take(gid_stack, img_idx, axis=0)          # (N, H, W)
+    src = (src_imgs.astype(jnp.int32) == local_id[:, None, None]
+           .astype(jnp.int32))
+    return _interp_crops(src.astype(jnp.float32) * 255.0,
+                         yi0, yi1, wy0, wy1, xi0, xi1, wx0, wx1)
+
+
 def gather_crops(gid_img, yi0, yi1, wy0, wy1, xi0, xi1, wx0, wx1):
     """(H, W) group-id image + per-group interpolation rows ->
     (N, S, S) float32 crops in {0..255} (composite + resize + pad fused;
     jittable, pure jnp). Padded plan rows (all-zero weights) yield all-zero
     crops."""
-    n, s = yi0.shape
-    hh, ww = gid_img.shape
+    n, _ = yi0.shape
     g = jnp.arange(n, dtype=jnp.int32)
     src = (gid_img[None].astype(jnp.int32) == g[:, None, None])
-    src = src.astype(jnp.float32) * 255.0                    # (N, H, W)
+    return _interp_crops(src.astype(jnp.float32) * 255.0,
+                         yi0, yi1, wy0, wy1, xi0, xi1, wx0, wx1)
 
+
+def _interp_crops(src, yi0, yi1, wy0, wy1, xi0, xi1, wx0, wx1):
+    """(N, H, W) float32 source canvases + interpolation rows -> (N, S, S)
+    crops via two batched MXU matmuls (resize + pad fused)."""
+    _, hh, ww = src.shape
     sy = jax.lax.broadcasted_iota(jnp.int32, (1, 1, hh), 2)
     ry = (wy0[:, :, None] * (sy == yi0[:, :, None])
           + wy1[:, :, None] * (sy == yi1[:, :, None]))       # (N, S, H)

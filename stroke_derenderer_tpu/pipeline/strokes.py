@@ -145,6 +145,25 @@ class StrokeEstimator:
 
         return run
 
+    @functools.cached_property
+    def _estimate_partitioned_batched(self):
+        """Cross-image device-partitioned program: every image's group-id
+        image stacked, one call for the whole directory batch."""
+        from stroke_derenderer_tpu.ops.device_partition import (
+            gather_crops_batched,
+        )
+
+        @functools.partial(jax.jit, static_argnames=("max_length",))
+        def run(enc_vars, dec_vars, proj_vars, gid_stack, img_idx, local_id,
+                coords, max_length):
+            crops = gather_crops_batched(gid_stack, img_idx, local_id,
+                                         *coords)
+            images = self._normalize_raw(crops)
+            return self._encode_and_decode(enc_vars, dec_vars, proj_vars,
+                                           images, max_length)
+
+        return run
+
     def estimate_strokes(self, images: np.ndarray, max_length: int | None = None
                          ) -> np.ndarray:
         """(N, 224, 224, 3) float32 normalized crops — or (N, 224, 224)
@@ -213,6 +232,59 @@ class StrokeEstimator:
             max_length or cfg.max_length)
         return self.process_tokens(np.asarray(preds[:n]), plan.partitions)
 
+    def _process_images_device(self, imgs_bin, max_length: int | None):
+        """Cross-image batched device partitioning: one device program runs
+        EVERY image's glyphs (group-id images stacked, image-local ids)."""
+        from stroke_derenderer_tpu.ops.device_partition import plan_partitions
+        cfg = self.config
+        s = cfg.image_size
+        masks, plans = [], []
+        for m in imgs_bin:
+            m = np.asarray(m)
+            if m.ndim == 3:
+                m = m[:, :, 0]
+            masks.append(m)
+            plans.append(plan_partitions(m, cfg.margin, s))
+        counts = [len(p.partitions) if p else 0 for p in plans]
+        ntot = sum(counts)
+        if ntot == 0:
+            return [[] for _ in imgs_bin]
+
+        hmax = max(m.shape[0] for m in masks)
+        wmax = _round_up(max(m.shape[1] for m in masks), 256)
+        gid_stack = np.full((len(masks), hmax, wmax), -1, np.int16)
+        for i, (m, p) in enumerate(zip(masks, plans)):
+            if p is not None:
+                gid_stack[i, :m.shape[0], :m.shape[1]] = p.gid_img
+
+        nb = _round_up(ntot, cfg.glyph_bucket)
+        img_idx = np.zeros(nb, np.int32)
+        local_id = np.full(nb, -2, np.int32)  # pad rows match no group
+        keys = ("yi0", "yi1", "wy0", "wy1", "xi0", "xi1", "wx0", "wx1")
+        coords = {k: np.zeros((nb, s), np.int32 if k[1] == "i"
+                              else np.float32) for k in keys}
+        ofs = 0
+        for i, p in enumerate(plans):
+            if p is None:
+                continue
+            n = len(p.partitions)
+            img_idx[ofs:ofs + n] = i
+            local_id[ofs:ofs + n] = np.arange(n)
+            for k in keys:
+                coords[k][ofs:ofs + n] = getattr(p, k)
+            ofs += n
+
+        preds = np.asarray(self._estimate_partitioned_batched(
+            self.enc_vars, self.dec_vars, self.proj_vars, gid_stack,
+            img_idx, local_id, tuple(coords[k] for k in keys),
+            max_length or cfg.max_length))
+        out, ofs = [], 0
+        for p, n in zip(plans, counts):
+            out.append(self.process_tokens(preds[ofs:ofs + n], p.partitions)
+                       if n else [])
+            ofs += n
+        return out
+
     def process_image(self, img_bin: np.ndarray, max_length: int | None = None):
         """Binarized image -> ordered strokes in the binarized image's
         coordinate frame (reference evaluate_strokes.py:163-183)."""
@@ -231,9 +303,7 @@ class StrokeEstimator:
         one encoder + decode program (the reference is strictly per-image).
         Returns one stroke list per input image."""
         if self.config.device_partition:
-            # Device partitioning is per-image (group ids are image-local).
-            return [self._process_image_device(m, max_length)
-                    for m in imgs_bin]
+            return self._process_images_device(imgs_bin, max_length)
         all_parts = [self.get_partitions(m) for m in imgs_bin]
         counts = [len(p) for p in all_parts]
         if sum(counts) == 0:

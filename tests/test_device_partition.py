@@ -116,3 +116,20 @@ def test_pipeline_device_partition_exact_when_crops_equal():
             assert np.array_equal(hx, dx) and np.array_equal(hy, dy)
         return
     pytest.skip("no bit-exact crop case found across seeds")
+
+
+def test_process_images_device_matches_per_image():
+    """The cross-image batched device program must produce exactly the same
+    strokes as the per-image device path."""
+    tiny = StrokesConfig(encoder_arch="tiny", embed_dim=16, attention_dim=16,
+                         decoder_dim=16, max_length=24,
+                         compute_dtype="float32", device_partition=True)
+    est = StrokeEstimator(tiny)
+    masks = [_random_mask(s, w=300 + 100 * s) > 0 for s in range(3)]
+    batched = est.process_images(masks, max_length=12)
+    single = [est.process_image(m, max_length=12) for m in masks]
+    assert len(batched) == len(single)
+    for bs, ss in zip(batched, single):
+        assert len(bs) == len(ss)
+        for (bx, by), (sx, sy) in zip(bs, ss):
+            assert np.array_equal(bx, sx) and np.array_equal(by, sy)
