@@ -1,0 +1,254 @@
+"""Pallas TPU kernel: the ENTIRE beam-search decode fused into one kernel.
+
+Companion to kernels/fused_decode.py (greedy). The XLA beam path
+(models/decoder.py beam_decode) tiles the encoder sequence to (B*K, P, E)
+and pays the same per-step while_loop dispatch overhead as greedy, times K
+rows. Here the grid is one cell per IMAGE:
+
+  * the encoder sequence lives in VMEM ONCE per image — beams share it,
+    so attention's attended-sum is a single (K, Pp) @ (Pp, E) MXU matmul
+    (no batched-dot workaround, no K-fold tiling);
+  * top-k over (K, Vp) is K unrolled flat-argmax+mask rounds — identical
+    tie-breaking (lowest flat index first) to jax.lax.top_k;
+  * beam reordering gathers h/c/emb/preds rows with one-hot parent
+    matmuls (prediction ints round-trip exactly through f32: values < 2^24);
+  * finished beams extend only with PAD at frozen score, writes stay PAD —
+    exactly beam_decode's semantics, pinned by interpret-mode tests.
+
+Outputs all K beams' predictions, scores, and lengths; GNMT length
+normalization and best-beam selection run in XLA outside the kernel
+(same math as beam_decode's tail).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from stroke_derenderer_tpu.config import BOS, EOS, PAD
+from stroke_derenderer_tpu.kernels.fused_decode import (
+    _round_up, pack_decoder_weights,
+)
+
+NEG_INF = -1e30
+
+
+def _kernel(enc_ref, proj_ref, h0_ref, c0_ref, pmask_ref,
+            watt_ref, batt_ref, v_ref, wf_ref, bf_ref,
+            wx_ref, wh_ref, blstm_ref, emb_ref, wfc_ref, bfc_ref,
+            preds_ref, score_ref, lens_ref, *, max_length: int, buf_len: int,
+            hdim: int, beam_k: int):
+    _, pp, e = enc_ref.shape
+    vp = emb_ref.shape[0]
+    k = beam_k
+    cdt = enc_ref.dtype
+    enc = enc_ref[0]          # (Pp, E) — shared by all beams
+    proj = proj_ref[0]        # (Pp, A)
+
+    def embed(tok):
+        onehot = (jax.lax.broadcasted_iota(jnp.int32, (k, vp), 1)
+                  == tok).astype(cdt)
+        return jnp.dot(onehot, emb_ref[:], preferred_element_type=jnp.float32)
+
+    def gather_rows(x, parent, exact_int=False):
+        """Reorder (K, ...) rows by parent indices with a one-hot matmul."""
+        onehot = (jax.lax.broadcasted_iota(jnp.int32, (k, k), 1)
+                  == parent).astype(jnp.float32)
+        y = jnp.dot(onehot, x.astype(jnp.float32),
+                    preferred_element_type=jnp.float32)
+        return jnp.rint(y).astype(jnp.int32) if exact_int else y
+
+    preds_ref[0] = jnp.full((k, buf_len), PAD, jnp.int32)
+
+    def step(state):
+        t, h, c, emb, score, fin, lens = state
+        hc = h.astype(cdt)
+
+        # --- attention: beams share the per-image encoder sequence.
+        dec_proj = jnp.dot(hc, watt_ref[:],
+                           preferred_element_type=jnp.float32) + batt_ref[:]
+        att = jnp.maximum(
+            proj[None].astype(jnp.float32) + dec_proj[:, None, :], 0.0)
+        scores_a = jnp.dot(att.reshape(k * pp, -1).astype(cdt), v_ref[:],
+                           preferred_element_type=jnp.float32).reshape(k, pp)
+        scores_a = jnp.where(pmask_ref[:] > 0, scores_a, NEG_INF)
+        scores_a = scores_a - jnp.max(scores_a, axis=1, keepdims=True)
+        ex = jnp.exp(scores_a)
+        alpha = ex / jnp.sum(ex, axis=1, keepdims=True)          # (K, Pp)
+        awe = jnp.dot(alpha.astype(cdt), enc,
+                      preferred_element_type=jnp.float32)        # (K, E)
+        gate = jax.nn.sigmoid(
+            jnp.dot(hc, wf_ref[:], preferred_element_type=jnp.float32)
+            + bf_ref[:])
+        awe = gate * awe
+
+        # --- fused LSTM.
+        x = jnp.concatenate([emb.astype(cdt), awe.astype(cdt)], axis=-1)
+        gates = (jnp.dot(x, wx_ref[:], preferred_element_type=jnp.float32)
+                 + jnp.dot(hc, wh_ref[:], preferred_element_type=jnp.float32)
+                 + blstm_ref[:])
+        i = jax.nn.sigmoid(gates[:, :hdim])
+        f = jax.nn.sigmoid(gates[:, hdim:2 * hdim])
+        g = jnp.tanh(gates[:, 2 * hdim:3 * hdim])
+        o = jax.nn.sigmoid(gates[:, 3 * hdim:])
+        c2 = f * c + i * g
+        h2 = o * jnp.tanh(c2)
+
+        # --- per-beam log-softmax; finished beams may only extend with PAD
+        # at no cost (models/decoder.py beam_decode).
+        logits = (jnp.dot(h2.astype(cdt), wfc_ref[:],
+                          preferred_element_type=jnp.float32) + bfc_ref[:])
+        logp = logits - jnp.max(logits, axis=-1, keepdims=True)
+        logp = logp - jnp.log(jnp.sum(jnp.exp(logp), axis=-1, keepdims=True))
+        is_pad_col = (jax.lax.broadcasted_iota(jnp.int32, (k, vp), 1) == PAD)
+        pad_only = jnp.where(is_pad_col, 0.0, NEG_INF)
+        logp = jnp.where(fin, pad_only, logp)
+        total = score + logp                                     # (K, Vp)
+
+        # --- top-k: K rounds of flat argmax + mask (same lowest-index
+        # tie-break as lax.top_k).
+        flat = total.reshape(1, k * vp)
+        parents, tokens, vals = [], [], []
+        for _ in range(k):
+            idx = jnp.argmax(flat, axis=-1)                      # (1,)
+            val = jnp.max(flat, axis=-1)
+            parents.append(idx // vp)
+            tokens.append(idx % vp)
+            vals.append(val)
+            flat = jnp.where(
+                jax.lax.broadcasted_iota(jnp.int32, flat.shape, 1)
+                == idx[:, None], NEG_INF, flat)
+        parent = jnp.stack(parents, 1).reshape(k, 1)             # (K, 1)
+        token = jnp.stack(tokens, 1).reshape(k, 1).astype(jnp.int32)
+        score = jnp.stack(vals, 1).reshape(k, 1)
+
+        # --- reorder beam state by parent; write this step's tokens.
+        h = gather_rows(h2, parent)
+        c = gather_rows(c2, parent)
+        fin = gather_rows(fin.astype(jnp.int32), parent,
+                          exact_int=True) != 0
+        lens = gather_rows(lens, parent, exact_int=True)
+        pr = gather_rows(preds_ref[0], parent, exact_int=True)
+        write = jnp.where(fin, PAD, token)
+        pr = jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, (k, buf_len), 1) == t,
+            write, pr)
+        preds_ref[0] = pr
+        lens = jnp.where(fin, lens, lens + 1)
+        fin = fin | (token == EOS)
+        emb = embed(token)
+        return t + 1, h, c, emb, score, fin, lens
+
+    def cond(state):
+        t = state[0]
+        fin = state[5]
+        return jnp.logical_and(t < max_length, ~jnp.all(fin))
+
+    h0 = jnp.broadcast_to(h0_ref[0].astype(jnp.float32)[None], (k, hdim))
+    c0 = jnp.broadcast_to(c0_ref[0].astype(jnp.float32)[None], (k, hdim))
+    emb0 = embed(jnp.full((k, 1), BOS, jnp.int32))
+    # Only beam 0 live initially so the first step picks K distinct tokens.
+    score0 = jnp.where(
+        jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0) == 0, 0.0, NEG_INF)
+    _, _, _, _, score, fin, lens = jax.lax.while_loop(
+        cond, step,
+        (jnp.int32(0), h0, c0, emb0, score0,
+         jnp.zeros((k, 1), jnp.bool_), jnp.zeros((k, 1), jnp.int32)))
+    score_ref[0] = score[:, 0]
+    lens_ref[0] = lens[:, 0]
+
+
+@functools.partial(jax.jit, static_argnames=("max_length", "beam_size",
+                                              "interpret", "stream_dtype"))
+def _fused_beam_decode_tpu(enc, enc_proj, h0, c0, packed, max_length: int,
+                           beam_size: int, interpret: bool = False,
+                           stream_dtype: str = "bfloat16"):
+    b, p, e = enc.shape
+    a = enc_proj.shape[-1]
+    hdim = h0.shape[-1]
+    pp = _round_up(p, 128)
+    mlp = _round_up(max_length, 128)
+    k = beam_size
+
+    cdt = jnp.dtype(stream_dtype)
+    enc = enc.astype(cdt)
+    enc_proj = enc_proj.astype(cdt)
+    h0, c0 = h0.astype(jnp.float32), c0.astype(jnp.float32)
+    packed = {kk: w.astype(cdt) for kk, w in packed.items()}
+    if pp != p:
+        enc = jnp.pad(enc, ((0, 0), (0, pp - p), (0, 0)))
+        enc_proj = jnp.pad(enc_proj, ((0, 0), (0, pp - p), (0, 0)))
+    pmask = (jnp.arange(pp) < p).astype(jnp.float32)[None, :]
+
+    const = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
+                                       memory_space=pltpu.VMEM)
+    kern = functools.partial(_kernel, max_length=max_length, buf_len=mlp,
+                             hdim=hdim, beam_k=k)
+    preds, score, lens = pl.pallas_call(
+        kern,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, pp, e), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, pp, a), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hdim), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hdim), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            const((1, pp)),
+            const(packed["watt"].shape), const(packed["batt"].shape),
+            const(packed["v"].shape), const(packed["wf"].shape),
+            const(packed["bf"].shape), const(packed["wx"].shape),
+            const(packed["wh"].shape), const(packed["blstm"].shape),
+            const(packed["emb"].shape), const(packed["wfc"].shape),
+            const(packed["bfc"].shape),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, k, mlp), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((b, k, mlp), jnp.int32),
+            jax.ShapeDtypeStruct((b, k), jnp.float32),
+            jax.ShapeDtypeStruct((b, k), jnp.int32),
+        ),
+        interpret=interpret,
+    )(enc, enc_proj, h0, c0, pmask,
+      packed["watt"], packed["batt"], packed["v"], packed["wf"],
+      packed["bf"], packed["wx"], packed["wh"], packed["blstm"],
+      packed["emb"], packed["wfc"], packed["bfc"])
+    return preds[:, :, :max_length], score, lens
+
+
+def fused_beam_decode(decoder, variables, enc_seq, max_length: int,
+                      beam_size: int = 5, length_penalty: float = 0.0,
+                      interpret: bool | None = None):
+    """Drop-in replacement for models.beam_decode: same (B, max_length)
+    int32 best-beam output. Falls back to the XLA path off-TPU unless
+    ``interpret=True``."""
+    from stroke_derenderer_tpu.models.decoder import (
+        AttentiveDecoder, beam_decode,
+    )
+    if not (interpret or jax.default_backend() == "tpu"):
+        return beam_decode(decoder, variables, enc_seq, max_length,
+                           beam_size=beam_size, length_penalty=length_penalty)
+    apply = lambda method, *a: decoder.apply(variables, *a, method=method)
+    enc_proj = apply(AttentiveDecoder.project_encoding, enc_seq)
+    h0, c0 = apply(AttentiveDecoder.init_state, enc_seq)
+    packed = pack_decoder_weights(variables["params"])
+    preds, score, lens = _fused_beam_decode_tpu(
+        enc_seq, enc_proj, h0, c0, packed, max_length, beam_size,
+        interpret=bool(interpret),
+        stream_dtype=jnp.dtype(decoder.dtype).name)
+    if length_penalty > 0:
+        norm = ((5.0 + lens.astype(jnp.float32)) / 6.0) ** length_penalty
+        score = score / norm
+    best = jnp.argmax(score, axis=1)
+    return jnp.take_along_axis(preds, best[:, None, None], axis=1)[:, 0]

@@ -83,7 +83,8 @@ def pack_decoder_weights(params: dict) -> dict:
 def _kernel(enc_ref, proj_ref, h0_ref, c0_ref, pmask_ref,
             watt_ref, batt_ref, v_ref, wf_ref, bf_ref,
             wx_ref, wh_ref, blstm_ref, emb_ref, wfc_ref, bfc_ref,
-            preds_ref, alpha_ref, *, max_length: int, hdim: int):
+            preds_ref, alpha_ref, *, max_length: int, buf_len: int,
+            hdim: int):
     bt, pp, e = enc_ref.shape
     vp = emb_ref.shape[0]
     cdt = enc_ref.dtype  # compute/stream dtype (bf16 in production)
@@ -95,7 +96,7 @@ def _kernel(enc_ref, proj_ref, h0_ref, c0_ref, pmask_ref,
         return jnp.dot(onehot, emb_ref[:],
                        preferred_element_type=jnp.float32)
 
-    preds_ref[:] = jnp.full((bt, max_length), PAD, jnp.int32)
+    preds_ref[:] = jnp.full((bt, buf_len), PAD, jnp.int32)
 
     def step(state):
         t, h, c, emb, active = state
@@ -196,7 +197,8 @@ def _fused_greedy_decode_tpu(enc, enc_proj, h0, c0, packed, max_length: int,
 
     const = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
                                        memory_space=pltpu.VMEM)
-    kern = functools.partial(_kernel, max_length=mlp, hdim=hdim)
+    kern = functools.partial(_kernel, max_length=max_length, buf_len=mlp,
+                             hdim=hdim)
     preds, _ = pl.pallas_call(
         kern,
         grid=(bp // block_b,),

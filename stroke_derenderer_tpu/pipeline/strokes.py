@@ -103,6 +103,12 @@ class StrokeEstimator:
         # B=80 with negligible effect on trained-model argmax.
         seq = seq.astype(jnp.dtype(cfg.compute_dtype))
         if cfg.decode == "beam":
+            if cfg.fused_decode and jax.default_backend() == "tpu":
+                from stroke_derenderer_tpu.kernels import fused_beam_decode
+                return fused_beam_decode(
+                    self.decoder, dec_vars, seq, max_length,
+                    beam_size=cfg.beam_size,
+                    length_penalty=cfg.length_penalty)
             return beam_decode(self.decoder, dec_vars, seq, max_length,
                                beam_size=cfg.beam_size,
                                length_penalty=cfg.length_penalty)

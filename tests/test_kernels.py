@@ -111,3 +111,18 @@ def test_fused_decode_kernel_eos_retirement():
                 assert np.all(row[hits[0] + 1:] == PAD)
                 return  # found and verified an EOS case
     raise AssertionError("no EOS case found across seeds")
+
+
+def test_fused_beam_kernel_matches_xla():
+    """The fully-fused beam kernel must emit byte-identical best beams to
+    models.beam_decode across beam sizes and length penalties."""
+    from stroke_derenderer_tpu.kernels import fused_beam_decode
+    from stroke_derenderer_tpu.models import beam_decode
+    dec, v = _tiny_decoder()
+    enc = jax.random.normal(jax.random.PRNGKey(5), (4, 9, 12))
+    for bs, lp in [(1, 0.0), (3, 0.0), (5, 0.7)]:
+        a = np.asarray(beam_decode(dec, v, enc, 12, beam_size=bs,
+                                   length_penalty=lp))
+        b = np.asarray(fused_beam_decode(dec, v, enc, 12, beam_size=bs,
+                                         length_penalty=lp, interpret=True))
+        assert np.array_equal(a, b), (bs, lp)
