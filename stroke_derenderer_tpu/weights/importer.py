@@ -78,6 +78,12 @@ def _iter_fields(buf: bytes):
         yield field, wire, val
 
 
+def _to_signed64(v: int) -> int:
+    """Protobuf varints carry int64 as two's complement (10-byte encoding
+    for negatives, NO zigzag for plain int64/int32 fields)."""
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
 def _parse_tensor(buf: bytes) -> tuple[str, np.ndarray]:
     dims: list[int] = []
     dtype = np.float32
@@ -108,17 +114,17 @@ def _parse_tensor(buf: bytes) -> tuple[str, np.ndarray]:
                 pos = 0
                 while pos < len(val):
                     v, pos = _read_varint(val, pos)
-                    int32s.append(v)
+                    int32s.append(_to_signed64(v))
             else:
-                int32s.append(val)
+                int32s.append(_to_signed64(val))
         elif field == 7:
             if wire == 2:
                 pos = 0
                 while pos < len(val):
                     v, pos = _read_varint(val, pos)
-                    int64s.append(v)
+                    int64s.append(_to_signed64(v))
             else:
-                int64s.append(val)
+                int64s.append(_to_signed64(val))
         elif field == 8:
             name = val.decode("utf-8")
         elif field == 9:

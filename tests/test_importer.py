@@ -107,3 +107,85 @@ def test_lstm_converter_matches_flax(rng):
                                (jnp.asarray(c0), jnp.asarray(h0)), jnp.asarray(x))
     np.testing.assert_allclose(np.asarray(h1), ht.numpy(), rtol=1e-5, atol=1e-5)
     np.testing.assert_allclose(np.asarray(c1), ct.numpy(), rtol=1e-5, atol=1e-5)
+
+
+def test_wire_parser_against_independent_protobuf(tmp_path, rng):
+    """Cross-check the hand-rolled ONNX wire parser against an INDEPENDENT
+    serializer: a minimal ONNX-subset .proto compiled with protoc and
+    serialized by google.protobuf (field numbers/wire types from the public
+    onnx.proto). Guards against self-consistent-but-wrong parsing, which a
+    roundtrip through our own writer cannot catch."""
+    import shutil
+    import subprocess
+    import sys
+    import pytest
+    protoc = shutil.which("protoc")
+    if protoc is None:
+        pytest.skip("protoc not available")
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        pytest.skip("google.protobuf not available")
+
+    (tmp_path / "onnx_mini.proto").write_text("""
+syntax = "proto3";
+package onnx_mini;
+message TensorProto {
+  repeated int64 dims = 1;
+  int32 data_type = 2;
+  repeated float float_data = 4 [packed = true];
+  repeated int64 int64_data = 7 [packed = true];
+  string name = 8;
+  bytes raw_data = 9;
+  repeated double double_data = 10 [packed = true];
+}
+message GraphProto {
+  string name = 2;
+  repeated TensorProto initializer = 5;
+}
+message ModelProto {
+  int64 ir_version = 1;
+  GraphProto graph = 7;
+}
+""")
+    subprocess.run([protoc, f"--python_out={tmp_path}", "onnx_mini.proto"],
+                   cwd=tmp_path, check=True)
+    sys.path.insert(0, str(tmp_path))
+    try:
+        import onnx_mini_pb2 as pb
+    finally:
+        sys.path.pop(0)
+
+    want = {
+        "conv.weight": rng.normal(size=(4, 3, 3, 3)).astype(np.float32),
+        "fc.bias": rng.normal(size=(7,)).astype(np.float32),
+        "ids": rng.integers(-5, 5, size=(2, 3)).astype(np.int64),
+        "dbl": rng.normal(size=(3,)).astype(np.float64),
+    }
+    m = pb.ModelProto()
+    m.ir_version = 8
+    m.graph.name = "g"
+    t = m.graph.initializer.add()   # raw_data f32
+    t.name = "conv.weight"; t.data_type = 1
+    t.dims.extend(want["conv.weight"].shape)
+    t.raw_data = want["conv.weight"].tobytes()
+    t = m.graph.initializer.add()   # float_data field
+    t.name = "fc.bias"; t.data_type = 1
+    t.dims.extend(want["fc.bias"].shape)
+    t.float_data.extend(want["fc.bias"].tolist())
+    t = m.graph.initializer.add()   # int64_data field
+    t.name = "ids"; t.data_type = 7
+    t.dims.extend(want["ids"].shape)
+    t.int64_data.extend(want["ids"].ravel().tolist())
+    t = m.graph.initializer.add()   # double_data field
+    t.name = "dbl"; t.data_type = 11
+    t.dims.extend(want["dbl"].shape)
+    t.double_data.extend(want["dbl"].tolist())
+
+    path = tmp_path / "model.onnx"
+    path.write_bytes(m.SerializeToString())
+    got = importer.read_onnx_initializers(path)
+    assert set(got) == set(want)
+    for k in want:
+        np.testing.assert_array_equal(got[k], want[k].reshape(got[k].shape))
+        assert got[k].shape == want[k].shape
