@@ -88,7 +88,8 @@ def train_captioner(config: StrokesConfig, steps: int, batch_size: int,
                     out_dir: str | Path, lr: float = 3e-4, seed: int = 0,
                     seq_len: int = 96, ckpt_every: int = 200,
                     log_every: int = 25, glyph_mode: str = "partitioned",
-                    init_from: str | Path | None = None):
+                    init_from: str | Path | None = None,
+                    coord_sigma: float = 0.0):
     encoder, decoder, enc_vars, dec_vars, _ = init_strokes_variables(config, seed)
     params = {"encoder": enc_vars["params"], "decoder": dec_vars["params"]}
     if init_from is not None:
@@ -115,7 +116,8 @@ def train_captioner(config: StrokesConfig, steps: int, batch_size: int,
         log.info("resumed captioner from %s (step %d)", last, start_step)
 
     step_fn = jax.jit(make_captioner_train_step(
-        encoder, decoder, tx, enc_image_size=config.encode_image_size))
+        encoder, decoder, tx, enc_image_size=config.encode_image_size,
+        coord_sigma=coord_sigma))
     from stroke_derenderer_tpu.data.loader import PrefetchLoader
     from stroke_derenderer_tpu.data.synthetic import partitioned_glyph_batches
     if glyph_mode == "partitioned":
@@ -170,6 +172,9 @@ def main(argv=None):
                     help="teacher-forcing sequence length (captioner)")
     ap.add_argument("--init-from", default=None, metavar="MODELDIR",
                     help="warm-start captioner params from a model dir")
+    ap.add_argument("--coord-smoothing", type=float, default=0.0,
+                    help="Gaussian sigma (px) for coordinate-aware label "
+                         "smoothing of vertex tokens (captioner)")
     args = ap.parse_args(argv)
 
     bin_kw = {}
@@ -184,7 +189,8 @@ def main(argv=None):
     if args.model in ("captioner", "both"):
         train_captioner(StrokesConfig(**se_kw), args.steps, args.batch,
                         args.out, args.lr, args.seed, seq_len=args.seq_len,
-                        init_from=args.init_from)
+                        init_from=args.init_from,
+                        coord_sigma=args.coord_smoothing)
     return 0
 
 

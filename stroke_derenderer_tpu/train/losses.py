@@ -36,9 +36,41 @@ def binarize_loss(probs: jnp.ndarray, target: jnp.ndarray,
     return bce + dice_weight * dice_loss(probs, target)
 
 
-def caption_loss(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+def caption_loss(logits: jnp.ndarray, targets: jnp.ndarray,
+                 coord_sigma: float = 0.0) -> jnp.ndarray:
     """Teacher-forced CE: logits (B, T, V) vs next-token targets (B, T);
-    positions where the target is PAD are masked."""
+    positions where the target is PAD are masked.
+
+    ``coord_sigma`` > 0 enables coordinate-aware label smoothing: vertex
+    tokens are interleaved pixel positions (token 3+v encodes x=v or
+    y=v-image_size, evaluate_strokes.py:120-133), so the target mass is
+    spread as a Gaussian over neighboring coordinates WITHIN the same axis
+    range (x mass never bleeds into y tokens or specials). PAD/BOS/EOS
+    targets stay hard."""
     mask = (targets != PAD).astype(jnp.float32)
-    ce = optax.softmax_cross_entropy_with_integer_labels(logits, targets)
+    if coord_sigma <= 0.0:
+        ce = optax.softmax_cross_entropy_with_integer_labels(logits, targets)
+        return jnp.sum(ce * mask) / jnp.maximum(jnp.sum(mask), 1.0)
+
+    import jax
+    v = logits.shape[-1]
+    s = (v - 3) // 2                       # image_size
+    k = max(1, int(3.0 * coord_sigma))
+    ds = jnp.arange(-k, k + 1)
+    gauss = jnp.exp(-0.5 * (ds / coord_sigma) ** 2)
+
+    is_coord = targets >= 3
+    axis_start = jnp.where(targets < 3 + s, 3, 3 + s)
+    pos = targets - axis_start             # position within its axis
+    neigh = pos[..., None] + ds
+    valid = is_coord[..., None] & (neigh >= 0) & (neigh < s)
+    w = jnp.where(valid, gauss, 0.0)
+    # Specials (and any all-invalid row) put all mass on the true token.
+    w = jnp.where(is_coord[..., None], w, (ds == 0).astype(jnp.float32))
+    w = w / jnp.maximum(w.sum(-1, keepdims=True), _EPS)
+
+    tok = jnp.clip(targets[..., None] + ds, 0, v - 1)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    lp = jnp.take_along_axis(logp, tok, axis=-1)   # (B, T, 2K+1)
+    ce = -jnp.sum(w * lp, axis=-1)
     return jnp.sum(ce * mask) / jnp.maximum(jnp.sum(mask), 1.0)

@@ -51,10 +51,12 @@ def make_binarizer_train_step(model, tx: optax.GradientTransformation):
 
 
 def make_captioner_train_step(encoder, decoder, tx: optax.GradientTransformation,
-                              enc_image_size: int = 14, proj=None):
+                              enc_image_size: int = 14, proj=None,
+                              coord_sigma: float = 0.0):
     """Returns jittable ``step(params, opt_state, images, tokens_in,
     tokens_out)`` where params = {'encoder': ..., 'decoder': ...[, 'proj']}.
-    Teacher forcing: tokens_in are shifted-right targets."""
+    Teacher forcing: tokens_in are shifted-right targets. ``coord_sigma``
+    enables coordinate-aware label smoothing (train/losses.py)."""
     from stroke_derenderer_tpu.models import encode_postprocess
 
     def loss_fn(params, images, tokens_in, tokens_out):
@@ -63,7 +65,7 @@ def make_captioner_train_step(encoder, decoder, tx: optax.GradientTransformation
         if proj is not None:
             seq = proj.apply({"params": params["proj"]}, seq)
         logits = decoder.apply({"params": params["decoder"]}, seq, tokens_in)
-        return caption_loss(logits, tokens_out)
+        return caption_loss(logits, tokens_out, coord_sigma=coord_sigma)
     return _make_update(loss_fn, tx)
 
 

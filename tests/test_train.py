@@ -80,3 +80,67 @@ def test_trained_params_roundtrip_through_store(tmp_path):
     x = jax.random.uniform(jax.random.PRNGKey(1), (2, 16, 32, 3))
     np.testing.assert_array_equal(
         np.asarray(model.apply(v, x)), np.asarray(model.apply(v2, x)))
+
+
+def test_caption_loss_coord_smoothing():
+    """Coordinate label smoothing: specials stay hard, vertex mass spreads
+    only within its own axis, sigma->tiny reduces to hard CE."""
+    import jax
+    import jax.numpy as jnp
+    from stroke_derenderer_tpu.train.losses import caption_loss
+
+    V, S = 3 + 2 * 8, 8  # image_size 8 -> vocab 19
+    rng = jax.random.PRNGKey(0)
+    logits = jax.random.normal(rng, (2, 5, V))
+    targets = jnp.array([[1, 5, 10, 2, 0],       # BOS, x=2, x=7, EOS, PAD
+                         [1, 11, 18, 2, 0]])     # BOS, y=0, y=7, EOS, PAD
+
+    hard = caption_loss(logits, targets)
+    tiny = caption_loss(logits, targets, coord_sigma=1e-4)
+    assert abs(float(hard) - float(tiny)) < 1e-4
+
+    # A model that spreads probability over the +/-1 neighbors must score
+    # BETTER under smoothing than one concentrated on a wrong-but-far token.
+    t = jnp.array([[10]])  # x=7 (axis edge: only the -1 neighbor is valid)
+    spread = jnp.full((1, 1, V), -20.0)
+    spread = spread.at[0, 0, 10].set(2.0).at[0, 0, 9].set(2.0)
+    wrong = jnp.full((1, 1, V), -20.0).at[0, 0, 11].set(5.0)  # y=0: other axis
+    assert float(caption_loss(spread, t, coord_sigma=1.0)) < \
+        float(caption_loss(wrong, t, coord_sigma=1.0))
+
+    # Axis boundary: smoothing an x-edge token (pos=7 of 8) keeps all mass
+    # in the x range — valid neighbors are d in [-3, 0] (K = 3*sigma).
+    # A model matching those weights exactly achieves the minimum loss,
+    # which is the entropy of the weight vector.
+    dvals = np.arange(-3, 1)  # d = -3..0 are in-range for pos 7
+    w = np.exp(-0.5 * dvals.astype(float) ** 2)
+    w = w / w.sum()
+    perfect = jnp.full((1, 1, V), -40.0)
+    for d, wd in zip(dvals, w):
+        perfect = perfect.at[0, 0, 10 + int(d)].set(float(np.log(wd)) + 40.0)
+    ent = float(-(w * np.log(w)).sum())
+    got = float(caption_loss(perfect, t, coord_sigma=1.0))
+    assert abs(got - ent) < 1e-3
+
+
+def test_captioner_train_step_with_smoothing_runs():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+    from stroke_derenderer_tpu.config import StrokesConfig
+    from stroke_derenderer_tpu.train.steps import make_captioner_train_step
+    from stroke_derenderer_tpu.weights.store import init_strokes_variables
+
+    cfg = StrokesConfig(encoder_arch="tiny", embed_dim=8, attention_dim=8,
+                        decoder_dim=8, compute_dtype="float32")
+    enc, dec, ev, dv, _ = init_strokes_variables(cfg, 0)
+    params = {"encoder": ev["params"], "decoder": dv["params"]}
+    tx = optax.adam(1e-3)
+    step = jax.jit(make_captioner_train_step(
+        enc, dec, tx, enc_image_size=cfg.encode_image_size, coord_sigma=1.5))
+    imgs = jnp.zeros((2, cfg.image_size, cfg.image_size, 3))
+    ti = jnp.ones((2, 6), jnp.int32)
+    to = jnp.full((2, 6), 5, jnp.int32)
+    p2, _, loss = step(params, tx.init(params), imgs, ti, to)
+    assert np.isfinite(float(loss))
