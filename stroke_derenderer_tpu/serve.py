@@ -175,9 +175,20 @@ def main(argv=None):
     ap.add_argument("--port", type=int, default=8700)
     ap.add_argument("--batch-window-ms", type=float, default=10.0)
     ap.add_argument("--max-batch", type=int, default=64)
+    ap.add_argument("--decode", choices=["greedy", "beam"], default=None)
+    ap.add_argument("--beam-size", type=int, default=None)
+    ap.add_argument("--device-partition", action="store_true")
     args = ap.parse_args(argv)
 
-    binarizer, estimator = initialize_sessions(args.models)
+    ov = {}
+    if args.decode:
+        ov["decode"] = args.decode
+    if args.beam_size:
+        ov["beam_size"] = args.beam_size
+    if args.device_partition:
+        ov["device_partition"] = True
+    binarizer, estimator = initialize_sessions(args.models,
+                                               se_overrides=ov or None)
     worker = BatchWorker(binarizer, estimator,
                          window_s=args.batch_window_ms / 1000.0,
                          max_batch=args.max_batch)
