@@ -18,6 +18,7 @@ import time
 from pathlib import Path
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import optax
 
@@ -89,7 +90,8 @@ def train_captioner(config: StrokesConfig, steps: int, batch_size: int,
                     seq_len: int = 96, ckpt_every: int = 200,
                     log_every: int = 25, glyph_mode: str = "partitioned",
                     init_from: str | Path | None = None,
-                    coord_sigma: float = 0.0):
+                    coord_sigma: float = 0.0,
+                    sample_prob: float = 0.0):
     encoder, decoder, enc_vars, dec_vars, _ = init_strokes_variables(config, seed)
     params = {"encoder": enc_vars["params"], "decoder": dec_vars["params"]}
     if init_from is not None:
@@ -117,7 +119,8 @@ def train_captioner(config: StrokesConfig, steps: int, batch_size: int,
 
     step_fn = jax.jit(make_captioner_train_step(
         encoder, decoder, tx, enc_image_size=config.encode_image_size,
-        coord_sigma=coord_sigma))
+        coord_sigma=coord_sigma, sample_prob=sample_prob,
+        total_steps=steps))
     from stroke_derenderer_tpu.data.loader import PrefetchLoader
     from stroke_derenderer_tpu.data.synthetic import partitioned_glyph_batches
     if glyph_mode == "partitioned":
@@ -134,8 +137,13 @@ def train_captioner(config: StrokesConfig, steps: int, batch_size: int,
     for i, (crops, tok_in, tok_out) in enumerate(data, start=start_step):
         if i >= steps:
             break
-        params, opt_state, loss = step_fn(params, opt_state, crops,
-                                          tok_in, tok_out)
+        if sample_prob > 0:
+            params, opt_state, loss = step_fn(params, opt_state, crops,
+                                              tok_in, tok_out,
+                                              jnp.int32(i))
+        else:
+            params, opt_state, loss = step_fn(params, opt_state, crops,
+                                              tok_in, tok_out)
         if (i + 1) % log_every == 0:
             log.info("captioner step %d loss %.4f (%.2f steps/s)",
                      i + 1, float(loss), log_every / max(time.time() - t0, 1e-9))
@@ -175,6 +183,10 @@ def main(argv=None):
     ap.add_argument("--coord-smoothing", type=float, default=0.0,
                     help="Gaussian sigma (px) for coordinate-aware label "
                          "smoothing of vertex tokens (captioner)")
+    ap.add_argument("--scheduled-sampling", type=float, default=0.0,
+                    help="final probability of feeding the model's own "
+                         "previous prediction instead of the gold token "
+                         "(ramped linearly; captioner)")
     args = ap.parse_args(argv)
 
     bin_kw = {}
@@ -190,7 +202,8 @@ def main(argv=None):
         train_captioner(StrokesConfig(**se_kw), args.steps, args.batch,
                         args.out, args.lr, args.seed, seq_len=args.seq_len,
                         init_from=args.init_from,
-                        coord_sigma=args.coord_smoothing)
+                        coord_sigma=args.coord_smoothing,
+                        sample_prob=args.scheduled_sampling)
     return 0
 
 

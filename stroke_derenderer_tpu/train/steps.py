@@ -52,20 +52,58 @@ def make_binarizer_train_step(model, tx: optax.GradientTransformation):
 
 def make_captioner_train_step(encoder, decoder, tx: optax.GradientTransformation,
                               enc_image_size: int = 14, proj=None,
-                              coord_sigma: float = 0.0):
+                              coord_sigma: float = 0.0,
+                              sample_prob: float = 0.0,
+                              total_steps: int = 0):
     """Returns jittable ``step(params, opt_state, images, tokens_in,
     tokens_out)`` where params = {'encoder': ..., 'decoder': ...[, 'proj']}.
     Teacher forcing: tokens_in are shifted-right targets. ``coord_sigma``
-    enables coordinate-aware label smoothing (train/losses.py)."""
+    enables coordinate-aware label smoothing (train/losses.py).
+
+    ``sample_prob`` > 0 enables scheduled sampling: a first (gradient-
+    stopped) teacher-forced pass produces the model's own next-token
+    predictions, and each input token is replaced by the model's previous
+    prediction with probability p — ramped linearly from 0 to sample_prob
+    over ``total_steps`` — before the loss pass. This narrows the
+    train-time/decode-time input distribution gap of autoregressive
+    decoding. The step then has signature
+    ``step(params, opt_state, images, tokens_in, tokens_out, step_idx)``.
+    """
+    from stroke_derenderer_tpu.config import PAD
     from stroke_derenderer_tpu.models import encode_postprocess
 
-    def loss_fn(params, images, tokens_in, tokens_out):
+    def encode(params, images):
         fm = encoder.apply({"params": params["encoder"]}, images)
         seq = encode_postprocess(fm, enc_image_size)
         if proj is not None:
             seq = proj.apply({"params": params["proj"]}, seq)
-        logits = decoder.apply({"params": params["decoder"]}, seq, tokens_in)
-        return caption_loss(logits, tokens_out, coord_sigma=coord_sigma)
+        return seq
+
+    if sample_prob <= 0.0:
+        def loss_fn(params, images, tokens_in, tokens_out):
+            seq = encode(params, images)
+            logits = decoder.apply({"params": params["decoder"]}, seq,
+                                   tokens_in)
+            return caption_loss(logits, tokens_out, coord_sigma=coord_sigma)
+        return _make_update(loss_fn, tx)
+
+    def loss_fn(params, images, tokens_in, tokens_out, step_idx):
+        seq = encode(params, images)
+        dec = lambda toks: decoder.apply({"params": params["decoder"]},
+                                         seq, toks)
+        # Pass 1: model's own predictions under teacher forcing (no grad —
+        # argmax is non-differentiable anyway).
+        preds = jnp.argmax(jax.lax.stop_gradient(dec(tokens_in)),
+                           axis=-1).astype(tokens_in.dtype)
+        prev_pred = jnp.concatenate([tokens_in[:, :1], preds[:, :-1]], axis=1)
+        ramp = jnp.clip(step_idx / max(total_steps, 1), 0.0, 1.0)
+        p = sample_prob * ramp
+        key = jax.random.PRNGKey(0)
+        key = jax.random.fold_in(key, step_idx.astype(jnp.int32))
+        take = jax.random.bernoulli(key, p, tokens_in.shape)
+        mixed = jnp.where(take & (tokens_in != PAD), prev_pred, tokens_in)
+        return caption_loss(dec(mixed), tokens_out, coord_sigma=coord_sigma)
+
     return _make_update(loss_fn, tx)
 
 

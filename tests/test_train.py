@@ -144,3 +144,35 @@ def test_captioner_train_step_with_smoothing_runs():
     to = jnp.full((2, 6), 5, jnp.int32)
     p2, _, loss = step(params, tx.init(params), imgs, ti, to)
     assert np.isfinite(float(loss))
+
+
+def test_captioner_scheduled_sampling_step():
+    """Scheduled-sampling step: runs, loss finite, and at ramp start
+    (step 0) it must equal the plain teacher-forced loss (p ramps from 0)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+    from stroke_derenderer_tpu.config import StrokesConfig
+    from stroke_derenderer_tpu.train.steps import make_captioner_train_step
+    from stroke_derenderer_tpu.weights.store import init_strokes_variables
+
+    cfg = StrokesConfig(encoder_arch="tiny", embed_dim=8, attention_dim=8,
+                        decoder_dim=8, compute_dtype="float32")
+    enc, dec, ev, dv, _ = init_strokes_variables(cfg, 0)
+    params = {"encoder": ev["params"], "decoder": dv["params"]}
+    tx = optax.adam(1e-3)
+    plain = jax.jit(make_captioner_train_step(
+        enc, dec, tx, enc_image_size=cfg.encode_image_size))
+    ss = jax.jit(make_captioner_train_step(
+        enc, dec, tx, enc_image_size=cfg.encode_image_size,
+        sample_prob=0.5, total_steps=100))
+    imgs = jnp.zeros((2, cfg.image_size, cfg.image_size, 3))
+    ti = jnp.ones((2, 6), jnp.int32)
+    to = jnp.full((2, 6), 5, jnp.int32)
+    opt = tx.init(params)
+    _, _, l_plain = plain(params, opt, imgs, ti, to)
+    _, _, l_ss0 = ss(params, opt, imgs, ti, to, jnp.int32(0))
+    assert abs(float(l_plain) - float(l_ss0)) < 1e-5
+    _, _, l_ss50 = ss(params, opt, imgs, ti, to, jnp.int32(50))
+    assert np.isfinite(float(l_ss50))
