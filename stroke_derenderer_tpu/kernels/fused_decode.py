@@ -149,9 +149,12 @@ def _kernel(enc_ref, proj_ref, h0_ref, c0_ref, pmask_ref,
 
         # --- reference write semantics: active rows record their token
         # (including the terminating EOS); retired rows stay PAD and
-        # freeze their h/c/emb (models/decoder.py greedy_decode).
+        # freeze their h/c/emb (models/decoder.py greedy_decode). Full-row
+        # masked write: Mosaic only slices the lane dim at 128 multiples.
         write = jnp.where(active, tok, PAD)
-        preds_ref[:, pl.ds(t, 1)] = write
+        preds_ref[:] = jnp.where(
+            jax.lax.broadcasted_iota(jnp.int32, (bt, buf_len), 1) == t,
+            write, preds_ref[:])
         emb2 = embed(tok)
         h = jnp.where(active, h2, h)
         c = jnp.where(active, c2, c)

@@ -20,6 +20,12 @@ moves ALL pixel work to the device:
     per-group host resize, and the upload shrinks from N*224^2 bytes to
     H*W*2 + N*224*16 bytes (~7x smaller for a 1800-px line with 10 groups).
 
+Known (deliberate) deviation: a group whose union bbox is ENTIRELY
+foreground — an island touching all four image edges — min-max-normalizes
+to all-zero on the host (pipeline minmax of a constant canvas) but stays
+foreground here; the host behavior is the degenerate one, and both collapse
+to near-identical model inputs after the per-crop normalization.
+
 Why the reconstruction is exact: a group canvas pixel is foreground iff
 some member island's label owns that pixel (crops are per-label masks,
 partition.py:74-85 adds them then re-binarizes), and islands partition into
