@@ -95,6 +95,23 @@ def measure(platform: str | None = None, n_images: int = N_IMAGES,
     return 1.0 / best, 1.0 / best_bin, 1.0 / best_se
 
 
+def _tpu_alive(timeout_s: float = 90.0) -> bool:
+    """Probe the accelerator in a subprocess: the axon tunnel, when wedged,
+    hangs jax.devices() forever rather than erroring — a benchmark that
+    never prints is worse than an honest CPU-fallback line."""
+    import subprocess
+    code = ("import jax\n"
+            "assert jax.default_backend() != 'cpu'\n"
+            "import jax.numpy as jnp, numpy as np\n"
+            "np.asarray(jnp.ones((8, 8)) @ jnp.ones((8, 8)))\n")
+    try:
+        r = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
+                           capture_output=True, cwd="/root/repo")
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--measure-cpu", action="store_true",
@@ -104,6 +121,19 @@ def main():
     if args.measure_cpu:
         ips = measure("cpu", n_images=2, repeats=1)
         print(json.dumps({"cpu_images_per_sec": round(ips, 4)}))
+        return
+
+    if not _tpu_alive():
+        # Accelerator unreachable (tunnel outage): report the CPU pipeline
+        # honestly instead of hanging with no output at all.
+        ips = measure("cpu", n_images=2, repeats=1)
+        print(json.dumps({
+            "metric": "e2e line images/sec (CPU FALLBACK - accelerator "
+                      "unreachable; see BENCH_STAGES.json absence)",
+            "value": round(ips, 4),
+            "unit": "images/sec",
+            "vs_baseline": round(ips / CPU_BASELINE_IPS, 2),
+        }))
         return
 
     ips, bin_ips, se_ips = measure(stages=True)  # default platform: real TPU
