@@ -112,10 +112,15 @@ class StrokesConfig:
     # MXU matmuls from a group-id image, ops/device_partition.py) instead
     # of per-group host resizes + crop upload.
     device_partition: bool = False
-    # Route decode attention through the Pallas kernel
-    # (kernels/decode_attention.py). Off by default: measured slower than
-    # the XLA step at these shapes on v5e (see pipeline/strokes.py).
-    fused_decode: bool = False
+    # Route the WHOLE decode loop through the fused Pallas kernels
+    # (kernels/fused_decode.py greedy, kernels/fused_beam.py beam): all
+    # weights + the encoder sequence stay VMEM-resident across steps.
+    # Measured on v5e: greedy 3.1x faster than the XLA while_loop
+    # (471 ms vs 1477 ms, B=80 P=196 E=512 T=384, block_b=16), beam 1.8x
+    # (1602 ms vs 2852 ms, B=16 K=5). On by default on TPU; both paths
+    # fall back to XLA off-TPU (see pipeline/strokes.py).
+    fused_decode: bool = True
+    fused_block_b: int = 16  # greedy kernel rows per grid cell
 
     def __post_init__(self):
         object.__setattr__(self, "mean", tuple(self.mean))

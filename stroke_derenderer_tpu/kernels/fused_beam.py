@@ -66,6 +66,12 @@ def _kernel(enc_ref, proj_ref, h0_ref, c0_ref, pmask_ref,
 
     def step(state):
         t, h, c, emb, score, fin, lens = state
+        # score/fin/lens ride the carry as lane-aligned (K, 128) vectors:
+        # Mosaic can't legalize scf.yield of i1 vectors or replicated-lane
+        # (K, 1) layouts (see kernels/fused_decode.py). Body-local views:
+        sc = score[:, :1]                 # (K, 1) float32
+        fb = fin[:, :1] > 0.0             # (K, 1) bool
+        ln = lens[:, :1]                  # (K, 1) int32
         hc = h.astype(cdt)
 
         # --- attention: beams share the per-image encoder sequence.
@@ -106,8 +112,8 @@ def _kernel(enc_ref, proj_ref, h0_ref, c0_ref, pmask_ref,
         logp = logp - jnp.log(jnp.sum(jnp.exp(logp), axis=-1, keepdims=True))
         is_pad_col = (jax.lax.broadcasted_iota(jnp.int32, (k, vp), 1) == PAD)
         pad_only = jnp.where(is_pad_col, 0.0, NEG_INF)
-        logp = jnp.where(fin, pad_only, logp)
-        total = score + logp                                     # (K, Vp)
+        logp = jnp.where(fb, pad_only, logp)
+        total = sc + logp                                        # (K, Vp)
 
         # --- top-k: K rounds of flat argmax + mask (same lowest-index
         # tie-break as lax.top_k).
@@ -124,42 +130,46 @@ def _kernel(enc_ref, proj_ref, h0_ref, c0_ref, pmask_ref,
                 == idx[:, None], NEG_INF, flat)
         parent = jnp.stack(parents, 1).reshape(k, 1)             # (K, 1)
         token = jnp.stack(tokens, 1).reshape(k, 1).astype(jnp.int32)
-        score = jnp.stack(vals, 1).reshape(k, 1)
+        sc2 = jnp.stack(vals, 1).reshape(k, 1)
 
         # --- reorder beam state by parent; write this step's tokens.
+        # fin/lens are gathered at their full (K, 128) carry width so every
+        # one-hot matmul keeps a 128-lane RHS (lane-1 matmuls don't lower).
         h = gather_rows(h2, parent)
         c = gather_rows(c2, parent)
-        fin = gather_rows(fin.astype(jnp.int32), parent,
-                          exact_int=True) != 0
-        lens = gather_rows(lens, parent, exact_int=True)
+        fin_g = gather_rows(fin, parent)                          # (K, 128)
+        lens_g = gather_rows(lens, parent, exact_int=True)        # (K, 128)
+        fb2 = fin_g[:, :1] > 0.0
         pr = gather_rows(preds_ref[0], parent, exact_int=True)
-        write = jnp.where(fin, PAD, token)
+        write = jnp.where(fb2, PAD, token)
         pr = jnp.where(
             jax.lax.broadcasted_iota(jnp.int32, (k, buf_len), 1) == t,
             write, pr)
         preds_ref[0] = pr
-        lens = jnp.where(fin, lens, lens + 1)
-        fin = fin | (token == EOS)
+        lens = jnp.where(fb2, lens_g, lens_g + 1)
+        fb2 = fb2 | (token == EOS)
         emb = embed(token)
+        score = jnp.broadcast_to(sc2, (k, 128))
+        fin = jnp.broadcast_to(fb2.astype(jnp.float32), (k, 128))
         return t + 1, h, c, emb, score, fin, lens
 
     def cond(state):
         t = state[0]
         fin = state[5]
-        return jnp.logical_and(t < max_length, ~jnp.all(fin))
+        return jnp.logical_and(t < max_length, jnp.min(fin) < 0.5)
 
-    h0 = jnp.broadcast_to(h0_ref[0].astype(jnp.float32)[None], (k, hdim))
-    c0 = jnp.broadcast_to(c0_ref[0].astype(jnp.float32)[None], (k, hdim))
+    h0 = jnp.broadcast_to(h0_ref[0].astype(jnp.float32), (k, hdim))
+    c0 = jnp.broadcast_to(c0_ref[0].astype(jnp.float32), (k, hdim))
     emb0 = embed(jnp.full((k, 1), BOS, jnp.int32))
     # Only beam 0 live initially so the first step picks K distinct tokens.
     score0 = jnp.where(
-        jax.lax.broadcasted_iota(jnp.int32, (k, 1), 0) == 0, 0.0, NEG_INF)
+        jax.lax.broadcasted_iota(jnp.int32, (k, 128), 0) == 0, 0.0, NEG_INF)
     _, _, _, _, score, fin, lens = jax.lax.while_loop(
         cond, step,
         (jnp.int32(0), h0, c0, emb0, score0,
-         jnp.zeros((k, 1), jnp.bool_), jnp.zeros((k, 1), jnp.int32)))
-    score_ref[0] = score[:, 0]
-    lens_ref[0] = lens[:, 0]
+         jnp.zeros((k, 128), jnp.float32), jnp.zeros((k, 128), jnp.int32)))
+    score_ref[0] = score
+    lens_ref[0] = lens
 
 
 @functools.partial(jax.jit, static_argnames=("max_length", "beam_size",
@@ -177,7 +187,10 @@ def _fused_beam_decode_tpu(enc, enc_proj, h0, c0, packed, max_length: int,
     cdt = jnp.dtype(stream_dtype)
     enc = enc.astype(cdt)
     enc_proj = enc_proj.astype(cdt)
-    h0, c0 = h0.astype(jnp.float32), c0.astype(jnp.float32)
+    # (B, 1, H) so the per-image block (1, 1, H) is a legal TPU tile
+    # (sublane dim 1 == full array dim; lane dim H is 128-aligned).
+    h0 = h0.astype(jnp.float32)[:, None, :]
+    c0 = c0.astype(jnp.float32)[:, None, :]
     packed = {kk: w.astype(cdt) for kk, w in packed.items()}
     if pp != p:
         enc = jnp.pad(enc, ((0, 0), (0, pp - p), (0, 0)))
@@ -196,9 +209,9 @@ def _fused_beam_decode_tpu(enc, enc_proj, h0, c0, packed, max_length: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, pp, a), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hdim), lambda i: (i, 0),
+            pl.BlockSpec((1, 1, hdim), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hdim), lambda i: (i, 0),
+            pl.BlockSpec((1, 1, hdim), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
             const((1, pp)),
             const(packed["watt"].shape), const(packed["batt"].shape),
@@ -211,20 +224,22 @@ def _fused_beam_decode_tpu(enc, enc_proj, h0, c0, packed, max_length: int,
         out_specs=(
             pl.BlockSpec((1, k, mlp), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k, 128), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
         ),
         out_shape=(
             jax.ShapeDtypeStruct((b, k, mlp), jnp.int32),
-            jax.ShapeDtypeStruct((b, k), jnp.float32),
-            jax.ShapeDtypeStruct((b, k), jnp.int32),
+            jax.ShapeDtypeStruct((b, k, 128), jnp.float32),
+            jax.ShapeDtypeStruct((b, k, 128), jnp.int32),
         ),
         interpret=interpret,
     )(enc, enc_proj, h0, c0, pmask,
       packed["watt"], packed["batt"], packed["v"], packed["wf"],
       packed["bf"], packed["wx"], packed["wh"], packed["blstm"],
       packed["emb"], packed["wfc"], packed["bfc"])
-    return preds[:, :, :max_length], score, lens
+    return preds[:, :, :max_length], score[:, :, 0], lens[:, :, 0]
 
 
 def fused_beam_decode(decoder, variables, enc_seq, max_length: int,

@@ -100,6 +100,10 @@ def _kernel(enc_ref, proj_ref, h0_ref, c0_ref, pmask_ref,
 
     def step(state):
         t, h, c, emb, active = state
+        # ``active`` rides the carry as a lane-aligned (bt, 128) float32:
+        # Mosaic can't legalize scf.yield of i1 vectors or replicated-lane
+        # (bt, 1) layouts, so the bool view is a body-local intermediate.
+        act = active[:, :1] > 0.0
         hc = h.astype(cdt)
 
         # --- additive attention over the VMEM-resident encoder sequence.
@@ -151,27 +155,28 @@ def _kernel(enc_ref, proj_ref, h0_ref, c0_ref, pmask_ref,
         # (including the terminating EOS); retired rows stay PAD and
         # freeze their h/c/emb (models/decoder.py greedy_decode). Full-row
         # masked write: Mosaic only slices the lane dim at 128 multiples.
-        write = jnp.where(active, tok, PAD)
+        write = jnp.where(act, tok, PAD)
         preds_ref[:] = jnp.where(
             jax.lax.broadcasted_iota(jnp.int32, (bt, buf_len), 1) == t,
             write, preds_ref[:])
         emb2 = embed(tok)
-        h = jnp.where(active, h2, h)
-        c = jnp.where(active, c2, c)
-        emb = jnp.where(active, emb2, emb)
-        active = jnp.logical_and(active, tok != EOS)
+        h = jnp.where(act, h2, h)
+        c = jnp.where(act, c2, c)
+        emb = jnp.where(act, emb2, emb)
+        still = jnp.logical_and(act, tok != EOS)
+        active = jnp.broadcast_to(still.astype(jnp.float32), (bt, 128))
         return t + 1, h, c, emb, active
 
     def cond(state):
         t, _, _, _, active = state
-        return jnp.logical_and(t < max_length, jnp.any(active))
+        return jnp.logical_and(t < max_length, jnp.max(active) > 0.0)
 
     emb0 = embed(jnp.full((bt, 1), BOS, jnp.int32))
     jax.lax.while_loop(
         cond, step,
         (jnp.int32(0), h0_ref[:].astype(jnp.float32),
          c0_ref[:].astype(jnp.float32), emb0,
-         jnp.ones((bt, 1), jnp.bool_)))
+         jnp.ones((bt, 128), jnp.float32)))
 
 
 @functools.partial(jax.jit, static_argnames=("max_length", "block_b",

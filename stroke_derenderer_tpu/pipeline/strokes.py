@@ -118,7 +118,8 @@ class StrokeEstimator:
             # (kernels/fused_decode.py).
             from stroke_derenderer_tpu.kernels import fused_greedy_decode
             return fused_greedy_decode(self.decoder, dec_vars, seq,
-                                       max_length)
+                                       max_length,
+                                       block_b=cfg.fused_block_b)
         return greedy_decode(self.decoder, dec_vars, seq, max_length)
 
     @functools.cached_property
