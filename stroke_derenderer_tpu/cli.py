@@ -52,7 +52,14 @@ def parse_args(argv=None):
                         help="Beam width for --decode beam.")
     parser.add_argument("--device-partition", action="store_true",
                         help="Materialize glyph crops on device (group-id "
-                             "image + MXU resize; ops/device_partition.py).")
+                             "image + MXU resize; ops/device_partition.py; "
+                             "the default — kept for compatibility).")
+    parser.add_argument("--host-partition", action="store_true",
+                        help="Disable device-side glyph partitioning (crops "
+                             "composited/resized on the host instead).")
+    parser.add_argument("--svg", action="store_true",
+                        help="Also write <name>_STROKES.svg vector output "
+                             "next to the JSON.")
     return parser.parse_args(argv)
 
 
@@ -98,7 +105,7 @@ def initialize_sessions(folderpath, fused: bool = False,
 
 
 def run(imgs, binarizer: Binarizer, estimator: StrokeEstimator | None,
-        output_folder, strokes: bool = True) -> int:
+        output_folder, strokes: bool = True, svg: bool = False) -> int:
     """Per-image binarize -> save -> stroke-estimate -> rescale -> save loop
     (reference main.py:91-136). Returns the number of images processed."""
     out_dir = Path(output_folder)
@@ -128,6 +135,10 @@ def run(imgs, binarizer: Binarizer, estimator: StrokeEstimator | None,
                 save_json(strokes_to_json(stroke_list, scale=ratio), st_path)
                 print(f"{filename} took {comp_se_time} seconds to estimate "
                       f"strokes. Result is saved to {st_path}")
+                if svg:
+                    from stroke_derenderer_tpu.io import save_svg
+                    save_svg(stroke_list, out_dir / f"{filename}_STROKES.svg",
+                             size=(img.shape[1], img.shape[0]), scale=ratio)
             done += 1
         except Exception as exc:  # per-image failures are non-fatal
             print(f"[error] {filename}: {type(exc).__name__}: {exc}")
@@ -135,7 +146,7 @@ def run(imgs, binarizer: Binarizer, estimator: StrokeEstimator | None,
 
 
 def run_batched(imgs, binarizer: Binarizer, estimator: StrokeEstimator | None,
-                output_folder, strokes: bool = True) -> int:
+                output_folder, strokes: bool = True, svg: bool = False) -> int:
     """Throughput mode: one device batch for every image's tiles, one for
     every image's glyphs. Same outputs/filenames as :func:`run`; the timing
     print reports the amortized per-image time."""
@@ -163,6 +174,10 @@ def run_batched(imgs, binarizer: Binarizer, estimator: StrokeEstimator | None,
             save_json(strokes_to_json(stroke_list, scale=ratio), st_path)
             print(f"{filename} took {t_se} seconds to estimate strokes "
                   f"(amortized). Result is saved to {st_path}")
+            if svg:
+                from stroke_derenderer_tpu.io import save_svg
+                save_svg(stroke_list, out_dir / f"{filename}_STROKES.svg",
+                         size=(img.shape[1], img.shape[0]), scale=ratio)
     return len(imgs)
 
 
@@ -195,10 +210,13 @@ def entrypoint(argv=None):
         se_overrides["beam_size"] = args.beam_size
     if args.device_partition:
         se_overrides["device_partition"] = True
+    if args.host_partition:
+        se_overrides["device_partition"] = False
     binarizer, estimator = initialize_sessions(args.models, fused=args.fused,
                                                se_overrides=se_overrides)
     runner = run_batched if args.batch else run
-    runner(imgs, binarizer, estimator, args.output, strokes=not args.no_strokes)
+    runner(imgs, binarizer, estimator, args.output,
+           strokes=not args.no_strokes, svg=args.svg)
     return 0
 
 
