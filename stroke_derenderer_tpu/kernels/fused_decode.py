@@ -72,6 +72,7 @@ def pack_decoder_weights(params: dict) -> dict:
         "watt": params["dec_att"]["kernel"],            # (H, A)
         "batt": params["dec_att"]["bias"][None, :],     # (1, A)
         "v": params["full_att"]["kernel"],              # (A, 1)
+        "bv": params["full_att"]["bias"][None, :],      # (1, 1)
         "wf": params["f_beta"]["kernel"],               # (H, E)
         "bf": params["f_beta"]["bias"][None, :],        # (1, E)
         "wx": wx, "wh": wh, "blstm": bh[None, :],       # (1, 4H)
@@ -80,8 +81,15 @@ def pack_decoder_weights(params: dict) -> dict:
     }
 
 
+# Tensors that stay float32 regardless of the stream dtype: the vocab head
+# is float32 in the model itself (AttentiveDecoder.fc, dtype=jnp.float32) —
+# rounding it to bf16 measurably degrades decode quality (argmax flips
+# compound autoregressively: stroke DTW 8.21 vs 7.57 on the eval set).
+F32_PACKED = ("wfc", "bfc")
+
+
 def _kernel(enc_ref, proj_ref, h0_ref, c0_ref, pmask_ref,
-            watt_ref, batt_ref, v_ref, wf_ref, bf_ref,
+            watt_ref, batt_ref, v_ref, bv_ref, wf_ref, bf_ref,
             wx_ref, wh_ref, blstm_ref, emb_ref, wfc_ref, bfc_ref,
             preds_ref, alpha_ref, *, max_length: int, buf_len: int,
             hdim: int):
@@ -89,12 +97,28 @@ def _kernel(enc_ref, proj_ref, h0_ref, c0_ref, pmask_ref,
     vp = emb_ref.shape[0]
     cdt = enc_ref.dtype  # compute/stream dtype (bf16 in production)
 
+    # Numerics contract: every intermediate rounds to ``cdt`` at exactly the
+    # points the flax modules do (Dense: f32-accumulated dot rounded to cdt,
+    # bias added in cdt; LSTM gate math and h/c carries in cdt; vocab head
+    # fully f32) — so hardware runs of this kernel emit the same token
+    # streams as models/decoder.py greedy_decode, whose numerics the
+    # weights were trained under. Transcendentals on cdt vectors are
+    # computed f32-in/round-out (what XLA does for bf16 sigmoid/tanh;
+    # Mosaic additionally cannot lower their f32 constants into bf16
+    # vectors directly).
+
+    def sig(x):
+        return jax.nn.sigmoid(x.astype(jnp.float32)).astype(cdt)
+
+    def tanh(x):
+        return jnp.tanh(x.astype(jnp.float32)).astype(cdt)
+
     def embed(tok):
         # Embedding gather as a one-hot matmul: (Bt, Vp) @ (Vp, D) on MXU.
         onehot = (jax.lax.broadcasted_iota(jnp.int32, (bt, vp), 1)
                   == tok).astype(cdt)
         return jnp.dot(onehot, emb_ref[:],
-                       preferred_element_type=jnp.float32)
+                       preferred_element_type=jnp.float32).astype(cdt)
 
     preds_ref[:] = jnp.full((bt, buf_len), PAD, jnp.int32)
 
@@ -104,15 +128,16 @@ def _kernel(enc_ref, proj_ref, h0_ref, c0_ref, pmask_ref,
         # Mosaic can't legalize scf.yield of i1 vectors or replicated-lane
         # (bt, 1) layouts, so the bool view is a body-local intermediate.
         act = active[:, :1] > 0.0
-        hc = h.astype(cdt)
 
         # --- additive attention over the VMEM-resident encoder sequence.
-        dec_proj = jnp.dot(hc, watt_ref[:],
-                           preferred_element_type=jnp.float32) + batt_ref[:]
-        att = jnp.maximum(
-            proj_ref[:].astype(jnp.float32) + dec_proj[:, None, :], 0.0)
-        scores = jnp.dot(att.reshape(bt * pp, -1).astype(cdt), v_ref[:],
-                         preferred_element_type=jnp.float32).reshape(bt, pp)
+        dec_proj = (jnp.dot(h, watt_ref[:],
+                            preferred_element_type=jnp.float32).astype(cdt)
+                    + batt_ref[:])
+        att = jnp.maximum(proj_ref[:] + dec_proj[:, None, :],
+                          jnp.zeros((), cdt))
+        scores = (jnp.dot(att.reshape(bt * pp, -1), v_ref[:],
+                          preferred_element_type=jnp.float32).astype(cdt)
+                  + bv_ref[:]).reshape(bt, pp).astype(jnp.float32)
         scores = jnp.where(pmask_ref[:] > 0, scores, NEG_INF)
         scores = scores - jnp.max(scores, axis=1, keepdims=True)
         ex = jnp.exp(scores)
@@ -129,25 +154,30 @@ def _kernel(enc_ref, proj_ref, h0_ref, c0_ref, pmask_ref,
 
         awe = jax.lax.fori_loop(0, pp // 128, acc_body,
                                 jnp.zeros((bt, e), jnp.float32))
-        gate = jax.nn.sigmoid(
-            jnp.dot(hc, wf_ref[:], preferred_element_type=jnp.float32)
-            + bf_ref[:])
-        awe = gate * awe
+        gate = sig(jnp.dot(h, wf_ref[:],
+                           preferred_element_type=jnp.float32).astype(cdt)
+                   + bf_ref[:])
+        awe = gate.astype(jnp.float32) * awe
 
         # --- fused LSTM: [emb; awe] @ Wx + h @ Wh + b -> i,f,g,o.
-        x = jnp.concatenate([emb.astype(cdt), awe.astype(cdt)], axis=-1)
-        gates = (jnp.dot(x, wx_ref[:], preferred_element_type=jnp.float32)
-                 + jnp.dot(hc, wh_ref[:], preferred_element_type=jnp.float32)
-                 + blstm_ref[:])
-        i = jax.nn.sigmoid(gates[:, :hdim])
-        f = jax.nn.sigmoid(gates[:, hdim:2 * hdim])
-        g = jnp.tanh(gates[:, 2 * hdim:3 * hdim])
-        o = jax.nn.sigmoid(gates[:, 3 * hdim:])
+        # flax LSTMCell rounds each dense projection to cdt before the gate
+        # sums; the hidden projection carries the bias (decoder.py setup).
+        x = jnp.concatenate([emb, awe.astype(cdt)], axis=-1)
+        gates = (jnp.dot(x, wx_ref[:],
+                         preferred_element_type=jnp.float32).astype(cdt)
+                 + (jnp.dot(h, wh_ref[:],
+                            preferred_element_type=jnp.float32).astype(cdt)
+                    + blstm_ref[:]))
+        i = sig(gates[:, :hdim])
+        f = sig(gates[:, hdim:2 * hdim])
+        g = tanh(gates[:, 2 * hdim:3 * hdim])
+        o = sig(gates[:, 3 * hdim:])
         c2 = f * c + i * g
-        h2 = o * jnp.tanh(c2)
+        h2 = o * tanh(c2)
 
         # --- vocab head + greedy argmax (pad logits carry NEG_INF bias).
-        logits = (jnp.dot(h2.astype(cdt), wfc_ref[:],
+        # Entirely f32, like AttentiveDecoder.fc (dtype=jnp.float32).
+        logits = (jnp.dot(h2.astype(jnp.float32), wfc_ref[:],
                           preferred_element_type=jnp.float32) + bfc_ref[:])
         tok = jnp.argmax(logits, axis=-1, keepdims=True).astype(jnp.int32)
 
@@ -174,8 +204,7 @@ def _kernel(enc_ref, proj_ref, h0_ref, c0_ref, pmask_ref,
     emb0 = embed(jnp.full((bt, 1), BOS, jnp.int32))
     jax.lax.while_loop(
         cond, step,
-        (jnp.int32(0), h0_ref[:].astype(jnp.float32),
-         c0_ref[:].astype(jnp.float32), emb0,
+        (jnp.int32(0), h0_ref[:], c0_ref[:], emb0,
          jnp.ones((bt, 128), jnp.float32)))
 
 
@@ -194,8 +223,9 @@ def _fused_greedy_decode_tpu(enc, enc_proj, h0, c0, packed, max_length: int,
     cdt = jnp.dtype(stream_dtype)
     enc = enc.astype(cdt)
     enc_proj = enc_proj.astype(cdt)
-    h0, c0 = h0.astype(jnp.float32), c0.astype(jnp.float32)
-    packed = {k: w.astype(cdt) for k, w in packed.items()}
+    h0, c0 = h0.astype(cdt), c0.astype(cdt)
+    packed = {k: w.astype(jnp.float32 if k in F32_PACKED else cdt)
+              for k, w in packed.items()}
     if (pp, bp) != (p, b):
         enc = jnp.pad(enc, ((0, bp - b), (0, pp - p), (0, 0)))
         enc_proj = jnp.pad(enc_proj, ((0, bp - b), (0, pp - p), (0, 0)))
@@ -221,7 +251,8 @@ def _fused_greedy_decode_tpu(enc, enc_proj, h0, c0, packed, max_length: int,
                          memory_space=pltpu.VMEM),
             const((1, pp)),
             const(packed["watt"].shape), const(packed["batt"].shape),
-            const(packed["v"].shape), const(packed["wf"].shape),
+            const(packed["v"].shape), const(packed["bv"].shape),
+            const(packed["wf"].shape),
             const(packed["bf"].shape), const(packed["wx"].shape),
             const(packed["wh"].shape), const(packed["blstm"].shape),
             const(packed["emb"].shape), const(packed["wfc"].shape),
@@ -239,9 +270,9 @@ def _fused_greedy_decode_tpu(enc, enc_proj, h0, c0, packed, max_length: int,
         ),
         interpret=interpret,
     )(enc, enc_proj, h0, c0, pmask,
-      packed["watt"], packed["batt"], packed["v"], packed["wf"],
-      packed["bf"], packed["wx"], packed["wh"], packed["blstm"],
-      packed["emb"], packed["wfc"], packed["bfc"])
+      packed["watt"], packed["batt"], packed["v"], packed["bv"],
+      packed["wf"], packed["bf"], packed["wx"], packed["wh"],
+      packed["blstm"], packed["emb"], packed["wfc"], packed["bfc"])
     return preds[:b, :max_length]
 
 
