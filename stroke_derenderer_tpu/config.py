@@ -70,11 +70,24 @@ class BinarizerConfig:
     def __post_init__(self):
         object.__setattr__(self, "features", tuple(self.features))
 
+    # Execution policy, not architecture: never frozen into exported model
+    # dirs (a dir trained when a default differed would silently pin the
+    # old policy on every later load — JSON wins over defaults).
+    EXEC_FIELDS = ("batch_bucket",)
+
     @classmethod
     def from_json(cls, configs_path: str | Path | None = None, **params) -> "BinarizerConfig":
         merged = _load_params(configs_path, params)
         known = {f.name for f in dataclasses.fields(cls)}
         return cls(**{k: v for k, v in merged.items() if k in known})
+
+    def export_dict(self) -> dict:
+        """Architecture + pipeline constants for a model-dir config JSON
+        (execution-policy fields excluded)."""
+        d = dataclasses.asdict(self)
+        for k in self.EXEC_FIELDS:
+            d.pop(k, None)
+        return d
 
 
 @dataclasses.dataclass(frozen=True)
@@ -137,8 +150,23 @@ class StrokesConfig:
     def tgt_shape(self) -> tuple[int, int]:
         return (self.image_size, self.image_size)
 
+    # Execution policy, not architecture (see BinarizerConfig.EXEC_FIELDS):
+    # decode strategy and kernel/batching choices evolve with the code and
+    # must not be pinned by whatever defaults held at training time.
+    EXEC_FIELDS = ("decode", "beam_size", "length_penalty", "glyph_bucket",
+                   "device_partition", "fused_decode", "fused_block_b")
+
     @classmethod
     def from_json(cls, configs_path: str | Path | None = None, **params) -> "StrokesConfig":
         merged = _load_params(configs_path, params)
         known = {f.name for f in dataclasses.fields(cls)}
         return cls(**{k: v for k, v in merged.items() if k in known})
+
+    def export_dict(self) -> dict:
+        """Architecture + pipeline constants for a model-dir config JSON
+        (execution-policy fields excluded)."""
+        d = dataclasses.asdict(self)
+        for k in self.EXEC_FIELDS:
+            d.pop(k, None)
+        d["mean"], d["std"] = list(d["mean"]), list(d["std"])
+        return d

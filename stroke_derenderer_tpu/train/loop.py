@@ -78,9 +78,9 @@ def train_binarizer(config: BinarizerConfig, steps: int, batch_size: int,
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     save_variables({"params": params}, out / "binarizer.msgpack")
-    import dataclasses, json
+    import json
     (out / "configs_binarizer.json").write_text(
-        json.dumps(dataclasses.asdict(config), indent=1))
+        json.dumps(config.export_dict(), indent=1))
     log.info("binarizer exported to %s", out)
     return params
 
@@ -156,10 +156,9 @@ def train_captioner(config: StrokesConfig, steps: int, batch_size: int,
     out.mkdir(parents=True, exist_ok=True)
     save_variables({"params": params["encoder"]}, out / "strokes_encoder.msgpack")
     save_variables({"params": params["decoder"]}, out / "strokes_decoder.msgpack")
-    import dataclasses, json
-    cfg = dataclasses.asdict(config)
-    cfg["mean"], cfg["std"] = list(cfg["mean"]), list(cfg["std"])
-    (out / "configs_strokes.json").write_text(json.dumps(cfg, indent=1))
+    import json
+    (out / "configs_strokes.json").write_text(
+        json.dumps(config.export_dict(), indent=1))
     log.info("captioner exported to %s", out)
     return params
 

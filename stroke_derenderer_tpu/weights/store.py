@@ -118,15 +118,12 @@ def materialize_model_dir(model_dir: str | Path,
     _, bin_vars = init_binarizer_variables(bin_config, seed)
     save_variables(bin_vars, model_dir / "binarizer.msgpack")
     with open(model_dir / "configs_binarizer.json", "w") as f:
-        json.dump(dataclasses.asdict(bin_config), f, indent=1)
+        json.dump(bin_config.export_dict(), f, indent=1)
 
     _, _, enc_vars, dec_vars, proj_vars = init_strokes_variables(strokes_config, seed)
     save_variables(enc_vars, model_dir / "strokes_encoder.msgpack")
     save_variables(dec_vars, model_dir / "strokes_decoder.msgpack")
     if proj_vars is not None:
         save_variables(proj_vars, model_dir / "strokes_projection.msgpack")
-    cfg = dataclasses.asdict(strokes_config)
-    cfg["mean"] = list(cfg["mean"])
-    cfg["std"] = list(cfg["std"])
     with open(model_dir / "configs_strokes.json", "w") as f:
-        json.dump(cfg, f, indent=1)
+        json.dump(strokes_config.export_dict(), f, indent=1)
