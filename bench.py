@@ -25,7 +25,8 @@ import numpy as np
 
 # Measured on this host via `python bench.py --measure-cpu` (same models,
 # same workload, jax CPU backend). Refresh after model-architecture changes.
-CPU_BASELINE_IPS = 0.0531  # images/sec (2026-08-16, jax 0.9.0 CPU, BLAS resize)
+CPU_BASELINE_IPS = 0.5199  # images/sec (2026-08-17, jax 0.9.0 CPU,
+# models_demo weights/configs — the shipped artifact on both sides)
 
 N_IMAGES = 8
 DECODE_STEPS = 384
@@ -47,12 +48,18 @@ def make_images(n: int, h: int = 200, w: int = 1800):
 
 
 def build():
+    """The shipped flagship (models_demo: trained weights + configs), so the
+    benchmark measures the artifact users actually run. Falls back to
+    default-config random init if the demo dir is missing."""
+    import os
+    if os.path.isdir(os.path.join(os.path.dirname(__file__) or ".",
+                                  "models_demo")):
+        from stroke_derenderer_tpu.cli import initialize_sessions
+        return initialize_sessions(
+            os.path.join(os.path.dirname(__file__) or ".", "models_demo"))
     from stroke_derenderer_tpu.config import BinarizerConfig, StrokesConfig
     from stroke_derenderer_tpu.pipeline import Binarizer, StrokeEstimator
-
-    binarizer = Binarizer(BinarizerConfig())
-    estimator = StrokeEstimator(StrokesConfig())
-    return binarizer, estimator
+    return Binarizer(BinarizerConfig()), StrokeEstimator(StrokesConfig())
 
 
 def measure(platform: str | None = None, n_images: int = N_IMAGES,
