@@ -8,6 +8,8 @@ serving surface on the same pipelines:
 Endpoints (PNG body in, JSON out):
   POST /binarize  -> {"binarized_png_b64": ..., "height": H, "width": W}
   POST /derender  -> {"strokes": [[X, Y], ...], "binarize_s": ..., ...}
+                     (?svg=1 adds "svg": an SVG document of the strokes
+                      in original-image coordinates, io/svg.py)
   GET  /healthz   -> {"ok": true}
 
 Requests are funneled through a micro-batching queue: concurrent requests
@@ -37,9 +39,11 @@ log = get_logger("serve")
 
 
 class _Job:
-    def __init__(self, img: np.ndarray, want_strokes: bool):
+    def __init__(self, img: np.ndarray, want_strokes: bool,
+                 want_svg: bool = False):
         self.img = img
         self.want_strokes = want_strokes
+        self.want_svg = want_svg
         self.done = threading.Event()
         self.result: dict | None = None
         self.error: str | None = None
@@ -106,6 +110,11 @@ class BatchWorker(threading.Thread):
                     out["strokes"] = strokes_to_json(stroke_results[i],
                                                      scale=ratio)
                     out["strokes_s"] = round(t_se / max(len(stroke_jobs), 1), 4)
+                    if job.want_svg:
+                        from stroke_derenderer_tpu.io import strokes_to_svg
+                        out["svg"] = strokes_to_svg(
+                            stroke_results[i], scale=ratio,
+                            size=(job.img.shape[1], job.img.shape[0]))
                 job.result = out
                 job.done.set()
         except Exception as exc:  # noqa: BLE001 — report to each waiter
@@ -146,7 +155,8 @@ def make_handler(worker: BatchWorker, timeout_s: float = 120.0):
                 self._reply(404, {"error": "unknown path"})
 
         def do_POST(self):
-            if self.path not in ("/binarize", "/derender"):
+            path, _, query = self.path.partition("?")
+            if path not in ("/binarize", "/derender"):
                 self._reply(404, {"error": "unknown path"})
                 return
             try:
@@ -155,7 +165,8 @@ def make_handler(worker: BatchWorker, timeout_s: float = 120.0):
             except Exception as exc:  # bad input is a client error
                 self._reply(400, {"error": f"bad image: {exc}"})
                 return
-            job = _Job(img, want_strokes=self.path == "/derender")
+            job = _Job(img, want_strokes=path == "/derender",
+                       want_svg="svg=1" in query.split("&"))
             worker.submit(job)
             if not job.done.wait(timeout_s):
                 self._reply(504, {"error": "timeout"})

@@ -70,6 +70,16 @@ def test_derender_endpoint(server):
     assert isinstance(out["strokes"], list)
     for x, y in out["strokes"]:
         assert len(x) == len(y)
+    assert "svg" not in out
+
+
+def test_derender_svg(server):
+    status, out = _post(server + "/derender?svg=1", _png_bytes())
+    assert status == 200
+    assert out["svg"].startswith("<svg")
+    import xml.etree.ElementTree as ET
+    root = ET.fromstring(out["svg"])
+    assert root.attrib["viewBox"] == "0 0 500 150"  # original-image coords
 
 
 def test_concurrent_requests_batched(server):
