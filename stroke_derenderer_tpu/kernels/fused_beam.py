@@ -31,14 +31,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 from stroke_derenderer_tpu.config import BOS, EOS, PAD
 from stroke_derenderer_tpu.kernels.fused_decode import (
-    _round_up, pack_decoder_weights,
+    F32_PACKED, _round_up, pack_decoder_weights,
 )
 
 NEG_INF = -1e30
 
 
 def _kernel(enc_ref, proj_ref, h0_ref, c0_ref, pmask_ref,
-            watt_ref, batt_ref, v_ref, wf_ref, bf_ref,
+            watt_ref, batt_ref, v_ref, bv_ref, wf_ref, bf_ref,
             wx_ref, wh_ref, blstm_ref, emb_ref, wfc_ref, bfc_ref,
             preds_ref, score_ref, lens_ref, *, max_length: int, buf_len: int,
             hdim: int, beam_k: int):
@@ -49,10 +49,21 @@ def _kernel(enc_ref, proj_ref, h0_ref, c0_ref, pmask_ref,
     enc = enc_ref[0]          # (Pp, E) — shared by all beams
     proj = proj_ref[0]        # (Pp, A)
 
+    # Same numerics contract as kernels/fused_decode.py: round to ``cdt``
+    # exactly where the flax modules do, vocab head f32, transcendentals
+    # f32-in/round-out (Mosaic can't lower their f32 constants into bf16
+    # vectors either).
+    def sig(x):
+        return jax.nn.sigmoid(x.astype(jnp.float32)).astype(cdt)
+
+    def tanh(x):
+        return jnp.tanh(x.astype(jnp.float32)).astype(cdt)
+
     def embed(tok):
         onehot = (jax.lax.broadcasted_iota(jnp.int32, (k, vp), 1)
                   == tok).astype(cdt)
-        return jnp.dot(onehot, emb_ref[:], preferred_element_type=jnp.float32)
+        return jnp.dot(onehot, emb_ref[:],
+                       preferred_element_type=jnp.float32).astype(cdt)
 
     def gather_rows(x, parent, exact_int=False):
         """Reorder (K, ...) rows by parent indices with a one-hot matmul."""
@@ -72,41 +83,44 @@ def _kernel(enc_ref, proj_ref, h0_ref, c0_ref, pmask_ref,
         sc = score[:, :1]                 # (K, 1) float32
         fb = fin[:, :1] > 0.0             # (K, 1) bool
         ln = lens[:, :1]                  # (K, 1) int32
-        hc = h.astype(cdt)
 
         # --- attention: beams share the per-image encoder sequence.
-        dec_proj = jnp.dot(hc, watt_ref[:],
-                           preferred_element_type=jnp.float32) + batt_ref[:]
-        att = jnp.maximum(
-            proj[None].astype(jnp.float32) + dec_proj[:, None, :], 0.0)
-        scores_a = jnp.dot(att.reshape(k * pp, -1).astype(cdt), v_ref[:],
-                           preferred_element_type=jnp.float32).reshape(k, pp)
+        dec_proj = (jnp.dot(h, watt_ref[:],
+                            preferred_element_type=jnp.float32).astype(cdt)
+                    + batt_ref[:])
+        att = jnp.maximum(proj[None] + dec_proj[:, None, :],
+                          jnp.zeros((), cdt))
+        scores_a = (jnp.dot(att.reshape(k * pp, -1), v_ref[:],
+                            preferred_element_type=jnp.float32).astype(cdt)
+                    + bv_ref[:]).reshape(k, pp).astype(jnp.float32)
         scores_a = jnp.where(pmask_ref[:] > 0, scores_a, NEG_INF)
         scores_a = scores_a - jnp.max(scores_a, axis=1, keepdims=True)
         ex = jnp.exp(scores_a)
         alpha = ex / jnp.sum(ex, axis=1, keepdims=True)          # (K, Pp)
-        awe = jnp.dot(alpha.astype(cdt), enc,
-                      preferred_element_type=jnp.float32)        # (K, E)
-        gate = jax.nn.sigmoid(
-            jnp.dot(hc, wf_ref[:], preferred_element_type=jnp.float32)
-            + bf_ref[:])
-        awe = gate * awe
+        awe = jnp.dot(alpha, enc.astype(jnp.float32),
+                      preferred_element_type=jnp.float32)        # (K, E) f32
+        gate = sig(jnp.dot(h, wf_ref[:],
+                           preferred_element_type=jnp.float32).astype(cdt)
+                   + bf_ref[:])
+        awe = gate.astype(jnp.float32) * awe
 
-        # --- fused LSTM.
-        x = jnp.concatenate([emb.astype(cdt), awe.astype(cdt)], axis=-1)
-        gates = (jnp.dot(x, wx_ref[:], preferred_element_type=jnp.float32)
-                 + jnp.dot(hc, wh_ref[:], preferred_element_type=jnp.float32)
-                 + blstm_ref[:])
-        i = jax.nn.sigmoid(gates[:, :hdim])
-        f = jax.nn.sigmoid(gates[:, hdim:2 * hdim])
-        g = jnp.tanh(gates[:, 2 * hdim:3 * hdim])
-        o = jax.nn.sigmoid(gates[:, 3 * hdim:])
+        # --- fused LSTM (flax per-gate rounding, see fused_decode.py).
+        x = jnp.concatenate([emb, awe.astype(cdt)], axis=-1)
+        gates = (jnp.dot(x, wx_ref[:],
+                         preferred_element_type=jnp.float32).astype(cdt)
+                 + (jnp.dot(h, wh_ref[:],
+                            preferred_element_type=jnp.float32).astype(cdt)
+                    + blstm_ref[:]))
+        i = sig(gates[:, :hdim])
+        f = sig(gates[:, hdim:2 * hdim])
+        g = tanh(gates[:, 2 * hdim:3 * hdim])
+        o = sig(gates[:, 3 * hdim:])
         c2 = f * c + i * g
-        h2 = o * jnp.tanh(c2)
+        h2 = o * tanh(c2)
 
         # --- per-beam log-softmax; finished beams may only extend with PAD
-        # at no cost (models/decoder.py beam_decode).
-        logits = (jnp.dot(h2.astype(cdt), wfc_ref[:],
+        # at no cost (models/decoder.py beam_decode). Vocab head f32.
+        logits = (jnp.dot(h2.astype(jnp.float32), wfc_ref[:],
                           preferred_element_type=jnp.float32) + bfc_ref[:])
         logp = logits - jnp.max(logits, axis=-1, keepdims=True)
         logp = logp - jnp.log(jnp.sum(jnp.exp(logp), axis=-1, keepdims=True))
@@ -135,8 +149,8 @@ def _kernel(enc_ref, proj_ref, h0_ref, c0_ref, pmask_ref,
         # --- reorder beam state by parent; write this step's tokens.
         # fin/lens are gathered at their full (K, 128) carry width so every
         # one-hot matmul keeps a 128-lane RHS (lane-1 matmuls don't lower).
-        h = gather_rows(h2, parent)
-        c = gather_rows(c2, parent)
+        h = gather_rows(h2, parent).astype(cdt)
+        c = gather_rows(c2, parent).astype(cdt)
         fin_g = gather_rows(fin, parent)                          # (K, 128)
         lens_g = gather_rows(lens, parent, exact_int=True)        # (K, 128)
         fb2 = fin_g[:, :1] > 0.0
@@ -158,8 +172,8 @@ def _kernel(enc_ref, proj_ref, h0_ref, c0_ref, pmask_ref,
         fin = state[5]
         return jnp.logical_and(t < max_length, jnp.min(fin) < 0.5)
 
-    h0 = jnp.broadcast_to(h0_ref[0].astype(jnp.float32), (k, hdim))
-    c0 = jnp.broadcast_to(c0_ref[0].astype(jnp.float32), (k, hdim))
+    h0 = jnp.broadcast_to(h0_ref[0].astype(cdt), (k, hdim))
+    c0 = jnp.broadcast_to(c0_ref[0].astype(cdt), (k, hdim))
     emb0 = embed(jnp.full((k, 1), BOS, jnp.int32))
     # Only beam 0 live initially so the first step picks K distinct tokens.
     score0 = jnp.where(
@@ -189,9 +203,10 @@ def _fused_beam_decode_tpu(enc, enc_proj, h0, c0, packed, max_length: int,
     enc_proj = enc_proj.astype(cdt)
     # (B, 1, H) so the per-image block (1, 1, H) is a legal TPU tile
     # (sublane dim 1 == full array dim; lane dim H is 128-aligned).
-    h0 = h0.astype(jnp.float32)[:, None, :]
-    c0 = c0.astype(jnp.float32)[:, None, :]
-    packed = {kk: w.astype(cdt) for kk, w in packed.items()}
+    h0 = h0.astype(cdt)[:, None, :]
+    c0 = c0.astype(cdt)[:, None, :]
+    packed = {kk: w.astype(jnp.float32 if kk in F32_PACKED else cdt)
+              for kk, w in packed.items()}
     if pp != p:
         enc = jnp.pad(enc, ((0, 0), (0, pp - p), (0, 0)))
         enc_proj = jnp.pad(enc_proj, ((0, 0), (0, pp - p), (0, 0)))
@@ -215,7 +230,8 @@ def _fused_beam_decode_tpu(enc, enc_proj, h0, c0, packed, max_length: int,
                          memory_space=pltpu.VMEM),
             const((1, pp)),
             const(packed["watt"].shape), const(packed["batt"].shape),
-            const(packed["v"].shape), const(packed["wf"].shape),
+            const(packed["v"].shape), const(packed["bv"].shape),
+            const(packed["wf"].shape),
             const(packed["bf"].shape), const(packed["wx"].shape),
             const(packed["wh"].shape), const(packed["blstm"].shape),
             const(packed["emb"].shape), const(packed["wfc"].shape),
@@ -236,9 +252,9 @@ def _fused_beam_decode_tpu(enc, enc_proj, h0, c0, packed, max_length: int,
         ),
         interpret=interpret,
     )(enc, enc_proj, h0, c0, pmask,
-      packed["watt"], packed["batt"], packed["v"], packed["wf"],
-      packed["bf"], packed["wx"], packed["wh"], packed["blstm"],
-      packed["emb"], packed["wfc"], packed["bfc"])
+      packed["watt"], packed["batt"], packed["v"], packed["bv"],
+      packed["wf"], packed["bf"], packed["wx"], packed["wh"],
+      packed["blstm"], packed["emb"], packed["wfc"], packed["bfc"])
     return preds[:, :, :max_length], score[:, :, 0], lens[:, :, 0]
 
 
