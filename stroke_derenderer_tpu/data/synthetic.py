@@ -166,8 +166,14 @@ def make_partitioned_glyph_sample(rng: np.random.Generator,
     for _ in range(8):  # resample until the ink forms a single partition
         n = int(rng.integers(1, 7))
         win = int(np.exp(rng.uniform(np.log(30), np.log(max_window))))
+        # Up to 22 points/stroke: the worst case (6 strokes * 22 points * 2
+        # coordinate tokens + separators = 271) fits a 288-token teacher
+        # horizon UNTRUNCATED. Token truncation force-writes EOS mid-ink
+        # (tokens_from_strokes), and a model trained on truncated targets
+        # learns to stop early on dense glyphs — visible as partial stroke
+        # coverage on curl-dense lines.
         strokes = random_strokes(rng, n, (h - 20, win),
-                                 points_per_stroke=int(rng.integers(6, 18)))
+                                 points_per_stroke=int(rng.integers(6, 23)))
         strokes = [(x + 10, y + 10) for x, y in strokes]
         mask = rasterize_strokes(strokes, (h, win + 20),
                                  thickness=int(rng.integers(1, 4)))
