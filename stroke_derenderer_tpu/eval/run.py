@@ -20,9 +20,15 @@ from stroke_derenderer_tpu.eval import binarization_f1, stroke_dtw, strokes_cham
 
 
 def evaluate_full(models_dir, n: int = 8, seed: int = 0,
-                  width: int = 1152, se_overrides: dict | None = None) -> dict:
+                  width: int = 1152, se_overrides: dict | None = None,
+                  dense: bool = False) -> dict:
     """Full metrics: binarization F1 on rendered lines, stroke DTW/chamfer on
-    glyph-sized samples with known ground-truth polylines."""
+    glyph-sized samples with known ground-truth polylines.
+
+    ``dense=True`` scores a harder stroke distribution (40-point strokes ≈
+    160+ tokens per glyph) that stresses decode-length generalization —
+    models trained with a short teacher-forcing horizon truncate coverage
+    here (early EOS) long before they fail on the default set."""
     from stroke_derenderer_tpu.data.synthetic import (
         _photo_render, random_strokes, rasterize_strokes,
     )
@@ -46,9 +52,11 @@ def evaluate_full(models_dir, n: int = 8, seed: int = 0,
     # glyphs through whole-line-wide groups (small resize ratios).
     dtws, chamfers = [], []
     widths_cycle = [h, 2 * h, 4 * h]
+    pts = 40 if dense else 24
     for i in range(n):
         cw = widths_cycle[i % len(widths_cycle)]
-        strokes = random_strokes(rng, int(rng.integers(1, 4)), (h, cw))
+        strokes = random_strokes(rng, int(rng.integers(1, 4)), (h, cw),
+                                 points_per_stroke=pts)
         mask = rasterize_strokes(strokes, (h, cw), thickness=2)
         pred_strokes = estimator.process_image(mask > 0)
         d = stroke_dtw(pred_strokes, strokes)
@@ -76,6 +84,9 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--decode", choices=["greedy", "beam"], default=None)
     ap.add_argument("--beam-size", type=int, default=None)
+    ap.add_argument("--dense", action="store_true",
+                    help="harder 40-point-stroke distribution (decode-length "
+                         "generalization)")
     args = ap.parse_args(argv)
     ov = {}
     if args.decode:
@@ -83,7 +94,8 @@ def main(argv=None):
     if args.beam_size:
         ov["beam_size"] = args.beam_size
     print(json.dumps(evaluate_full(args.models, args.n, args.seed,
-                                   se_overrides=ov or None)))
+                                   se_overrides=ov or None,
+                                   dense=args.dense)))
     return 0
 
 

@@ -96,6 +96,51 @@ class Binarizer:
         return run
 
     # ------------------------------------------------------------------
+    @functools.lru_cache(maxsize=64)
+    def _fused_batch_program(self, plan: TilePlan):
+        """Batched fused mode: (B, H, W, C) resized line images in, BIT-PACKED
+        (B, H, ceil(W/8)) masks out. Versus the bucketed path this uploads
+        the line images instead of overlapping tiles (~20% fewer bytes at
+        the default 64/384 overlap) and downloads 1 bit per mask pixel
+        instead of 8 — transfer-bound work on a tunneled chip."""
+        cfg = self.config
+
+        @jax.jit
+        def run(variables, imgs_u8):
+            tiles = jax.vmap(lambda im: cut_tiles(im, plan))(imgs_u8)
+            b, t, hh, tw, c = tiles.shape
+            x = tiles.reshape(b * t, hh, tw, c).astype(jnp.float32) / 255.0
+            probs = self.model.apply(variables, x)
+            mask = jnp.where(probs > cfg.bin_thr, jnp.uint8(255), jnp.uint8(0))
+            mask = mask.reshape(b, t, hh, tw, 1)
+            out = jax.vmap(lambda m: stitch_tiles(m, plan))(mask)
+            wp = _round_up(plan.img_width, 8)
+            bits = (out[..., 0] > 0).astype(jnp.int32)
+            bits = jnp.pad(bits, ((0, 0), (0, 0), (0, wp - plan.img_width)))
+            bits = bits.reshape(b, hh, wp // 8, 8)
+            weights = jnp.asarray([128, 64, 32, 16, 8, 4, 2, 1], jnp.int32)
+            return jnp.sum(bits * weights, axis=-1).astype(jnp.uint8)
+
+        return run
+
+    def _binarize_images_fused(self, prepped: list[np.ndarray],
+                               plans: list[TilePlan]) -> list[np.ndarray]:
+        """Group same-width images and run each group through the batched
+        fused program; unpack the bit-packed masks on the host."""
+        out: list[np.ndarray | None] = [None] * len(prepped)
+        by_plan: dict[TilePlan, list[int]] = {}
+        for i, plan in enumerate(plans):
+            by_plan.setdefault(plan, []).append(i)
+        for plan, idxs in by_plan.items():
+            batch = np.stack([prepped[i] for i in idxs])
+            packed = np.asarray(self._fused_batch_program(plan)(
+                self.variables, batch))
+            masks = np.unpackbits(packed, axis=-1)[:, :, :plan.img_width]
+            for j, i in enumerate(idxs):
+                out[i] = (masks[j] * 255).astype(np.uint8)[:, :, None]
+        return out  # type: ignore[return-value]
+
+    # ------------------------------------------------------------------
     def binarize_tiles(self, tiles_u8: np.ndarray) -> np.ndarray:
         """Device forward on a pre-cut uint8 tile batch (bucket-padded)."""
         t = tiles_u8.shape[0]
@@ -140,18 +185,20 @@ class Binarizer:
 
     def binarize_images(self, images) -> list[np.ndarray]:
         """Batch over images: all tiles of all images run in one device
-        batch (cross-image batching the reference can't do)."""
+        batch (cross-image batching the reference can't do). In fused mode
+        same-width images share batched fused programs (device cut/stitch,
+        bit-packed mask download)."""
         cfg = self.config
-        plans, all_tiles, counts = [], [], []
-        for image in images:
-            img_rs = _prep_line(image, cfg)
-            plan = plan_tiles(img_rs.shape[1], cfg.width, cfg.overlap)
-            tiles = cut_tiles_np(img_rs, plan)
-            plans.append(plan)
-            all_tiles.append(tiles)
-            counts.append(tiles.shape[0])
-        if not plans:
+        if not len(images):
             return []
+        prepped = [_prep_line(image, cfg) for image in images]
+        plans = [plan_tiles(p.shape[1], cfg.width, cfg.overlap)
+                 for p in prepped]
+        if self.fused:
+            return self._binarize_images_fused(prepped, plans)
+        all_tiles = [cut_tiles_np(p, plan)
+                     for p, plan in zip(prepped, plans)]
+        counts = [t.shape[0] for t in all_tiles]
         masks = self.binarize_tiles(np.concatenate(all_tiles, axis=0))
         out, ofs = [], 0
         for plan, n in zip(plans, counts):

@@ -54,6 +54,24 @@ def test_binarize_fused_equals_bucketed(binarizer):
     assert np.array_equal(a, b)
 
 
+def test_binarize_images_fused_batched_equals_bucketed(binarizer):
+    """The batched fused path (device cut/stitch + bit-packed download)
+    must reproduce the bucketed path bit-exactly, across mixed widths
+    (two same-plan images batched together + one odd width) including a
+    width that isn't a multiple of 8 (bit-pack padding)."""
+    imgs = [_line_image(w=700), _line_image(w=700), _line_image(w=957),
+            _line_image(w=333)]
+    a = binarizer.binarize_images(imgs)
+    binarizer.fused = True
+    try:
+        b = binarizer.binarize_images(imgs)
+    finally:
+        binarizer.fused = False
+    for x, y in zip(a, b):
+        assert x.shape == y.shape and x.dtype == y.dtype
+        assert np.array_equal(x, y)
+
+
 def test_binarize_images_matches_single(binarizer):
     imgs = [_line_image(w=500), _line_image(w=900)]
     batched = binarizer.binarize_images(imgs)
