@@ -25,8 +25,9 @@ import numpy as np
 
 # Measured on this host via `python bench.py --measure-cpu` (same models,
 # same workload, jax CPU backend). Refresh after model-architecture changes.
-CPU_BASELINE_IPS = 0.5199  # images/sec (2026-08-17, jax 0.9.0 CPU,
-# models_demo weights/configs — the shipped artifact on both sides)
+CPU_BASELINE_IPS = 0.7771  # images/sec (2026-08-17, jax 0.9.0 CPU,
+# models_demo v7 weights/configs, auto-fused batched binarize — the shipped
+# artifact and code path on both sides)
 
 N_IMAGES = 8
 DECODE_STEPS = 384
@@ -126,7 +127,9 @@ def main():
     args = ap.parse_args()
 
     if args.measure_cpu:
-        ips = measure("cpu", n_images=2, repeats=1)
+        # 4 images so the width group crosses fused_batch_min and the CPU
+        # denominator runs the same auto-fused path as the TPU measure.
+        ips = measure("cpu", n_images=4, repeats=1)
         print(json.dumps({"cpu_images_per_sec": round(ips, 4)}))
         return
 

@@ -194,14 +194,29 @@ class Binarizer:
         prepped = [_prep_line(image, cfg) for image in images]
         plans = [plan_tiles(p.shape[1], cfg.width, cfg.overlap)
                  for p in prepped]
-        if self.fused:
-            return self._binarize_images_fused(prepped, plans)
-        all_tiles = [cut_tiles_np(p, plan)
-                     for p, plan in zip(prepped, plans)]
-        counts = [t.shape[0] for t in all_tiles]
-        masks = self.binarize_tiles(np.concatenate(all_tiles, axis=0))
-        out, ofs = [], 0
-        for plan, n in zip(plans, counts):
-            out.append(stitch_tiles_np(masks[ofs:ofs + n], plan))
-            ofs += n
-        return out
+
+        # Width groups large enough to amortize a per-width compile take the
+        # fused program; the ragged rest share the bucketed tile batch.
+        counts_by_plan: dict[TilePlan, int] = {}
+        for plan in plans:
+            counts_by_plan[plan] = counts_by_plan.get(plan, 0) + 1
+        fmin = cfg.fused_batch_min if not self.fused else 1
+        fused_i = [i for i, plan in enumerate(plans)
+                   if fmin > 0 and counts_by_plan[plan] >= fmin]
+
+        out: list[np.ndarray | None] = [None] * len(images)
+        if fused_i:
+            fused_out = self._binarize_images_fused(
+                [prepped[i] for i in fused_i], [plans[i] for i in fused_i])
+            for i, m in zip(fused_i, fused_out):
+                out[i] = m
+        rest = [i for i in range(len(images)) if out[i] is None]
+        if rest:
+            all_tiles = [cut_tiles_np(prepped[i], plans[i]) for i in rest]
+            masks = self.binarize_tiles(np.concatenate(all_tiles, axis=0))
+            ofs = 0
+            for i, tiles in zip(rest, all_tiles):
+                n = tiles.shape[0]
+                out[i] = stitch_tiles_np(masks[ofs:ofs + n], plans[i])
+                ofs += n
+        return out  # type: ignore[return-value]

@@ -72,6 +72,18 @@ def test_binarize_images_fused_batched_equals_bucketed(binarizer):
         assert np.array_equal(x, y)
 
 
+def test_binarize_images_auto_fuses_large_width_groups(binarizer):
+    """Default policy: >=fused_batch_min same-width images ride the fused
+    program, ragged widths the bucketed path — outputs identical to
+    per-image calls either way."""
+    assert binarizer.config.fused_batch_min == 3
+    imgs = [_line_image(w=700)] * 3 + [_line_image(w=451)]
+    batched = binarizer.binarize_images(imgs)
+    singles = [binarizer.binarize_image(im) for im in imgs]
+    for x, y in zip(batched, singles):
+        assert np.array_equal(x, y)
+
+
 def test_binarize_images_matches_single(binarizer):
     imgs = [_line_image(w=500), _line_image(w=900)]
     batched = binarizer.binarize_images(imgs)
