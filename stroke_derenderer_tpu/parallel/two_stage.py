@@ -79,3 +79,57 @@ class TwoStagePipeline:
         if errors:
             raise errors[0]
         return masks, strokes
+
+    def process_batched(self, images, chunk_size: int = 8,
+                        max_length: int | None = None):
+        """Chunk-overlapped BATCHED two-stage run: stage A binarizes chunk
+        k+1 (binarize_images: fused program + transfers) while stage B
+        decodes chunk k (process_images). On a tunneled single chip both
+        stages are round-trip-bound, so overlapping their transfers pushes
+        e2e throughput toward max(stage) instead of sum(stage); on disjoint
+        device groups the compute itself overlaps too.
+
+        Outputs are identical to the sequential batched path: every row of
+        both device programs is independent, so chunk membership cannot
+        change any image's result (pinned in tests/test_two_stage.py).
+        """
+        import queue
+        import threading
+
+        images = list(images)
+        chunks = [range(s, min(s + chunk_size, len(images)))
+                  for s in range(0, len(images), chunk_size)]
+        masks: list = [None] * len(images)
+        strokes: list = [None] * len(images)
+        q: "queue.Queue" = queue.Queue(maxsize=1)
+        errors: list = []
+        thr = 255 * self.binarizer.config.bin_thr
+
+        def stage_a():
+            try:
+                for idx in chunks:
+                    bins = self.binarizer.binarize_images(
+                        [np.asarray(images[i]) for i in idx])
+                    chunk_masks = [b[:, :, 0] > thr for b in bins]
+                    for i, m in zip(idx, chunk_masks):
+                        masks[i] = m
+                    q.put((idx, chunk_masks))
+            except Exception as exc:
+                errors.append(exc)
+            finally:
+                q.put(None)
+
+        t = threading.Thread(target=stage_a, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            idx, chunk_masks = item
+            for i, s in zip(idx, self.estimator.process_images(
+                    chunk_masks, max_length=max_length)):
+                strokes[i] = s
+        t.join()
+        if errors:
+            raise errors[0]
+        return masks, strokes

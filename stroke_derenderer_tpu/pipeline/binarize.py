@@ -110,6 +110,10 @@ class Binarizer:
             tiles = jax.vmap(lambda im: cut_tiles(im, plan))(imgs_u8)
             b, t, hh, tw, c = tiles.shape
             x = tiles.reshape(b * t, hh, tw, c).astype(jnp.float32) / 255.0
+            if c == 1 and cfg.channels != 1:
+                # Achromatic input shipped as one channel (1/3 the upload
+                # bytes — the tunnel is bandwidth-bound); replicate here.
+                x = jnp.repeat(x, cfg.channels, axis=3)
             probs = self.model.apply(variables, x)
             mask = jnp.where(probs > cfg.bin_thr, jnp.uint8(255), jnp.uint8(0))
             mask = mask.reshape(b, t, hh, tw, 1)
@@ -133,6 +137,10 @@ class Binarizer:
             by_plan.setdefault(plan, []).append(i)
         for plan, idxs in by_plan.items():
             batch = np.stack([prepped[i] for i in idxs])
+            if batch.shape[-1] == 3 and np.array_equal(
+                    batch[..., :1], batch[..., 1:2]) and np.array_equal(
+                    batch[..., :1], batch[..., 2:3]):
+                batch = batch[..., :1]  # achromatic: ship one channel
             packed = np.asarray(self._fused_batch_program(plan)(
                 self.variables, batch))
             masks = np.unpackbits(packed, axis=-1)[:, :, :plan.img_width]

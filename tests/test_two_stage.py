@@ -46,3 +46,15 @@ def test_two_stage_matches_sequential():
         for (ax, ay), (bx, by) in zip(a, b):
             np.testing.assert_allclose(ax, bx)
             np.testing.assert_allclose(ay, by)
+
+    # Chunk-overlapped batched mode: same outputs, any chunk size.
+    for chunk in (2, 3):
+        cb_masks, cb_strokes = pipe.process_batched(imgs, chunk_size=chunk,
+                                                    max_length=12)
+        for a, b in zip(pp_masks, cb_masks):
+            assert np.array_equal(a, b)
+        for a, b in zip(pp_strokes, cb_strokes):
+            assert len(a) == len(b)
+            for (ax, ay), (bx, by) in zip(a, b):
+                np.testing.assert_allclose(ax, bx)
+                np.testing.assert_allclose(ay, by)
