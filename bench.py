@@ -103,21 +103,29 @@ def measure(platform: str | None = None, n_images: int = N_IMAGES,
     return 1.0 / best, 1.0 / best_bin, 1.0 / best_se
 
 
-def _tpu_alive(timeout_s: float = 90.0) -> bool:
+def _tpu_alive(timeout_s: float = 150.0, attempts: int = 2) -> bool:
     """Probe the accelerator in a subprocess: the axon tunnel, when wedged,
     hangs jax.devices() forever rather than erroring — a benchmark that
-    never prints is worse than an honest CPU-fallback line."""
+    never prints is worse than an honest CPU-fallback line. Two attempts:
+    the first can lose a race against a just-exited process still holding
+    the device."""
     import subprocess
     code = ("import jax\n"
             "assert jax.default_backend() != 'cpu'\n"
             "import jax.numpy as jnp, numpy as np\n"
             "np.asarray(jnp.ones((8, 8)) @ jnp.ones((8, 8)))\n")
-    try:
-        r = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
-                           capture_output=True, cwd="/root/repo")
-        return r.returncode == 0
-    except subprocess.TimeoutExpired:
-        return False
+    for i in range(attempts):
+        try:
+            r = subprocess.run([sys.executable, "-c", code],
+                               timeout=timeout_s, capture_output=True,
+                               cwd="/root/repo")
+            if r.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        if i + 1 < attempts:
+            time.sleep(20.0)
+    return False
 
 
 def main():

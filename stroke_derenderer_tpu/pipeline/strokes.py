@@ -223,7 +223,8 @@ class StrokeEstimator:
         n = len(plan.partitions)
         nb = _round_up(n, cfg.glyph_bucket)
         wb = _round_up(img_bin.shape[1], 256)  # width bucket bounds recompiles
-        gid = np.full((img_bin.shape[0], wb), -1, np.int16)
+        gdt = np.int8 if len(plan.partitions) < 128 else np.int16
+        gid = np.full((img_bin.shape[0], wb), -1, gdt)
         gid[:, :img_bin.shape[1]] = plan.gid_img
 
         def _pad_rows(a):
@@ -259,7 +260,11 @@ class StrokeEstimator:
 
         hmax = max(m.shape[0] for m in masks)
         wmax = _round_up(max(m.shape[1] for m in masks), 256)
-        gid_stack = np.full((len(masks), hmax, wmax), -1, np.int16)
+        # int8 when every image-local group id fits: halves the upload (the
+        # gid stack is the strokes stage's dominant transfer; the kernel
+        # widens to int32 before comparing either way).
+        gdt = np.int8 if max(counts) < 128 else np.int16
+        gid_stack = np.full((len(masks), hmax, wmax), -1, gdt)
         for i, (m, p) in enumerate(zip(masks, plans)):
             if p is not None:
                 gid_stack[i, :m.shape[0], :m.shape[1]] = p.gid_img
