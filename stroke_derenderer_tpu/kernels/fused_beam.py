@@ -82,7 +82,6 @@ def _kernel(enc_ref, proj_ref, h0_ref, c0_ref, pmask_ref,
         # (K, 1) layouts (see kernels/fused_decode.py). Body-local views:
         sc = score[:, :1]                 # (K, 1) float32
         fb = fin[:, :1] > 0.0             # (K, 1) bool
-        ln = lens[:, :1]                  # (K, 1) int32
 
         # --- attention: beams share the per-image encoder sequence.
         dec_proj = (jnp.dot(h, watt_ref[:],
