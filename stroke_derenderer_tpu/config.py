@@ -135,11 +135,12 @@ class StrokesConfig:
     device_partition: bool = True
     # Route the WHOLE decode loop through the fused Pallas kernels
     # (kernels/fused_decode.py greedy, kernels/fused_beam.py beam): all
-    # weights + the encoder sequence stay VMEM-resident across steps.
-    # Measured on v5e: greedy 3.1x faster than the XLA while_loop
-    # (471 ms vs 1477 ms, B=80 P=196 E=512 T=384, block_b=16), beam 1.8x
-    # (1602 ms vs 2852 ms, B=16 K=5). On by default on TPU; both paths
-    # fall back to XLA off-TPU (see pipeline/strokes.py).
+    # weights + the encoder sequence stay VMEM-resident across steps, with
+    # rounding matched to the XLA path (same token quality). Measured on
+    # v5e after the numerics match: greedy 2.8x the XLA while_loop
+    # (481 vs 1366 ms, B=80 P=196 E=512 T=384), beam 2.1x (870 vs 1821 ms,
+    # B=16 K=5) with better eval DTW (6.12 vs 6.99). On by default on TPU;
+    # both paths fall back to XLA off-TPU (see pipeline/strokes.py).
     fused_decode: bool = True
     fused_block_b: int = 16  # greedy kernel rows per grid cell
 
