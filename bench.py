@@ -12,25 +12,36 @@ backend (the reference runs ONNX on CPU, BASELINE.md: published numbers are
 absent; the north-star target is >=20x ONNX-CPU images/sec on one v5e chip).
 The CPU denominator was measured on this machine with --measure-cpu and is
 pinned below; rerun with --measure-cpu to refresh it.
+
+Robustness: the tunneled accelerator can WEDGE (hang, not error) at any
+point — probe, compile, or mid-run. The timed measurement therefore runs in
+a subprocess with a hard timeout and is retried; the CPU-fallback line is
+emitted only after the probe budget (~8 min of backoff-retried probes) and
+two full measurement attempts are exhausted.
 """
 
 from __future__ import annotations
 
 import argparse
 import json
+import os
+import subprocess
 import sys
 import time
 
 import numpy as np
 
 # Measured on this host via `python bench.py --measure-cpu` (same models,
-# same workload, jax CPU backend). Refresh after model-architecture changes.
-CPU_BASELINE_IPS = 0.7771  # images/sec (2026-08-17, jax 0.9.0 CPU,
-# models_demo v7 weights/configs, auto-fused batched binarize — the shipped
-# artifact and code path on both sides)
+# same workload, same n_images=8, jax CPU backend). Refresh after
+# model-architecture changes.
+CPU_BASELINE_IPS = 0.688  # images/sec (2026-08-17, jax 0.9.0 CPU,
+# models_demo weights/configs, auto-fused batched binarize, n_images=8 —
+# the shipped artifact, code path, AND batch geometry on both sides
+# (ADVICE r1: same cross-image amortization in numerator and denominator))
 
 N_IMAGES = 8
 DECODE_STEPS = 384
+PEAK_FLOPS_BF16 = 197e12  # TPU v5e peak bf16 FLOP/s (for MFU reporting)
 
 
 def make_images(n: int, h: int = 200, w: int = 1800):
@@ -52,7 +63,6 @@ def build():
     """The shipped flagship (models_demo: trained weights + configs), so the
     benchmark measures the artifact users actually run. Falls back to
     default-config random init if the demo dir is missing."""
-    import os
     if os.path.isdir(os.path.join(os.path.dirname(__file__) or ".",
                                   "models_demo")):
         from stroke_derenderer_tpu.cli import initialize_sessions
@@ -103,80 +113,145 @@ def measure(platform: str | None = None, n_images: int = N_IMAGES,
     return 1.0 / best, 1.0 / best_bin, 1.0 / best_se
 
 
-def _tpu_alive(timeout_s: float = 150.0, attempts: int = 2) -> bool:
+def _mfu_stats(ips: float, bin_ips: float, se_ips: float,
+               n_images: int = N_IMAGES) -> dict:
+    """Analytic per-image FLOPs (XLA compiled cost analysis of the real
+    programs at the real bench shapes) and the implied MFU at the measured
+    throughputs. VERDICT r1 item 7."""
+    from stroke_derenderer_tpu.utils.flops import bench_flops_per_image
+
+    fl = bench_flops_per_image(make_images(n_images), DECODE_STEPS)
+    out = dict(fl)
+    out["peak_flops_bf16"] = PEAK_FLOPS_BF16
+    out["mfu_binarize"] = round(fl["binarize_flops_per_image"] * bin_ips
+                                / PEAK_FLOPS_BF16, 6)
+    out["mfu_strokes"] = round(fl["strokes_flops_per_image"] * se_ips
+                               / PEAK_FLOPS_BF16, 6)
+    out["mfu_e2e"] = round((fl["binarize_flops_per_image"]
+                            + fl["strokes_flops_per_image"]) * ips
+                           / PEAK_FLOPS_BF16, 6)
+    return out
+
+
+def run_worker() -> None:
+    """Full accelerator measurement, in-process. Invoked as a subprocess so
+    a wedged tunnel can be timed out and retried by the parent."""
+    ips, bin_ips, se_ips = measure(stages=True)  # default platform: real TPU
+    stages = {"e2e_ips": round(ips, 4),
+              "binarize_only_ips": round(bin_ips, 4),
+              "strokes_only_ips": round(se_ips, 4),
+              "n_images": N_IMAGES,
+              "decode_steps": DECODE_STEPS}
+    try:
+        stages.update(_mfu_stats(ips, bin_ips, se_ips))
+    except Exception as e:  # MFU is reporting-only; never fail the bench
+        stages["mfu_error"] = repr(e)
+    try:  # per-stage numbers for regression tracking (never on stdout)
+        with open(os.path.join(os.path.dirname(__file__) or ".",
+                               "BENCH_STAGES.json"), "w") as f:
+            json.dump(stages, f, indent=1)
+    except OSError:
+        pass
+    print(json.dumps({
+        "metric": "e2e line images/sec/chip (binarize + 384-step stroke decode)",
+        "value": round(ips, 4),
+        "unit": "images/sec",
+        "vs_baseline": round(ips / CPU_BASELINE_IPS, 2),
+    }))
+
+
+def _tpu_alive(total_budget_s: float = 480.0, attempt_s: float = 90.0) -> bool:
     """Probe the accelerator in a subprocess: the axon tunnel, when wedged,
-    hangs jax.devices() forever rather than erroring — a benchmark that
-    never prints is worse than an honest CPU-fallback line. Two attempts:
-    the first can lose a race against a just-exited process still holding
-    the device."""
-    import subprocess
+    hangs jax.devices() forever rather than erroring. Retry with backoff
+    until the budget is spent — tunnel outages are often transient
+    (VERDICT r1: two 150 s probes gave up too early and the official
+    round-1 number became a CPU fallback)."""
     code = ("import jax\n"
             "assert jax.default_backend() != 'cpu'\n"
             "import jax.numpy as jnp, numpy as np\n"
             "np.asarray(jnp.ones((8, 8)) @ jnp.ones((8, 8)))\n")
-    for i in range(attempts):
+    deadline = time.time() + total_budget_s
+    backoff = 10.0
+    while True:
+        budget = deadline - time.time()
+        if budget <= 0:
+            return False
         try:
             r = subprocess.run([sys.executable, "-c", code],
-                               timeout=timeout_s, capture_output=True,
-                               cwd="/root/repo")
+                               timeout=min(attempt_s, max(budget, 15.0)),
+                               capture_output=True,
+                               cwd=os.path.dirname(os.path.abspath(__file__)))
             if r.returncode == 0:
                 return True
         except subprocess.TimeoutExpired:
             pass
-        if i + 1 < attempts:
-            time.sleep(20.0)
-    return False
+        if time.time() + backoff >= deadline:
+            return False
+        time.sleep(backoff)
+        backoff = min(backoff * 1.7, 60.0)
+
+
+def _run_measurement_subprocess(timeout_s: float) -> str | None:
+    """One full accelerator bench attempt; returns the JSON line or None."""
+    try:
+        r = subprocess.run([sys.executable, os.path.abspath(__file__),
+                            "--worker"],
+                           timeout=timeout_s, capture_output=True, text=True,
+                           cwd=os.path.dirname(os.path.abspath(__file__)))
+    except subprocess.TimeoutExpired:
+        return None
+    if r.returncode != 0:
+        return None
+    for line in reversed(r.stdout.strip().splitlines()):
+        try:
+            obj = json.loads(line)
+            if "value" in obj and "vs_baseline" in obj:
+                return line
+        except json.JSONDecodeError:
+            continue
+    return None
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--measure-cpu", action="store_true",
                     help="Measure the CPU denominator and exit.")
+    ap.add_argument("--worker", action="store_true",
+                    help=argparse.SUPPRESS)  # internal: in-process measure
     args = ap.parse_args()
 
+    if args.worker:
+        run_worker()
+        return
+
     if args.measure_cpu:
-        # 4 images so the width group crosses fused_batch_min and the CPU
-        # denominator runs the same auto-fused path as the TPU measure.
-        ips = measure("cpu", n_images=4, repeats=1)
+        # Same n_images as the accelerator measure so the vs_baseline ratio
+        # compares identical cross-image batching/amortization (ADVICE r1).
+        ips = measure("cpu", n_images=N_IMAGES, repeats=2)
         print(json.dumps({"cpu_images_per_sec": round(ips, 4)}))
         return
 
-    if not _tpu_alive():
-        # Accelerator unreachable (tunnel outage): report the CPU pipeline
-        # honestly instead of hanging with no output at all.
-        ips = measure("cpu", n_images=2, repeats=1)
-        print(json.dumps({
-            "metric": "e2e line images/sec (CPU FALLBACK - accelerator "
-                      "unreachable; see BENCH_STAGES.json absence)",
-            "value": round(ips, 4),
-            "unit": "images/sec",
-            "vs_baseline": round(ips / CPU_BASELINE_IPS, 2),
-        }))
-        return
+    if _tpu_alive():
+        # Two attempts: a wedge mid-compile/mid-run times out and is
+        # retried once after a pause (transient tunnel drops recover).
+        line = _run_measurement_subprocess(timeout_s=1200.0)
+        if line is None:
+            time.sleep(30.0)
+            if _tpu_alive(total_budget_s=180.0):
+                line = _run_measurement_subprocess(timeout_s=900.0)
+        if line is not None:
+            print(line)
+            return
 
-    ips, bin_ips, se_ips = measure(stages=True)  # default platform: real TPU
-    try:  # per-stage numbers for regression tracking (never on stdout)
-        with open("BENCH_STAGES.json", "w") as f:
-            json.dump({"e2e_ips": round(ips, 4),
-                       "binarize_only_ips": round(bin_ips, 4),
-                       "strokes_only_ips": round(se_ips, 4),
-                       "n_images": N_IMAGES,
-                       "decode_steps": DECODE_STEPS}, f)
-    except OSError:
-        pass
-    base = CPU_BASELINE_IPS
-    if base is None:
-        print("[bench] no pinned CPU baseline; measuring live...",
-              file=sys.stderr)
-        import subprocess
-        out = subprocess.run([sys.executable, __file__, "--measure-cpu"],
-                             capture_output=True, text=True)
-        base = json.loads(out.stdout.strip().splitlines()[-1])["cpu_images_per_sec"]
+    # Accelerator unreachable after the full probe+retry budget (tunnel
+    # outage): report the CPU pipeline honestly instead of never printing.
+    ips = measure("cpu", n_images=2, repeats=1)
     print(json.dumps({
-        "metric": "e2e line images/sec/chip (binarize + 384-step stroke decode)",
+        "metric": "e2e line images/sec (CPU FALLBACK - accelerator "
+                  "unreachable; see BENCH_STAGES.json absence)",
         "value": round(ips, 4),
         "unit": "images/sec",
-        "vs_baseline": round(ips / base, 2),
+        "vs_baseline": round(ips / CPU_BASELINE_IPS, 2),
     }))
 
 

@@ -111,6 +111,7 @@ class StrokesConfig:
     # token 3+v encodes x=v for v<image_size and y=v-image_size otherwise, so
     # vocab = 3 specials + 2*image_size = 451 (evaluate_strokes.py:120-133).
     encoder_arch: str = "resnet50"  # "resnet18" | "resnet50" | "resnet101" | "tiny"
+    encoder_norm: str = "group"  # "group" (pure apply) | "batch" (ONNX parity)
     embed_dim: int = 512
     attention_dim: int = 512
     decoder_dim: int = 512

@@ -46,6 +46,111 @@ def random_strokes(rng: np.random.Generator, n_strokes: int,
     return strokes
 
 
+def _curl_stroke(rng: np.random.Generator, shape: tuple[int, int],
+                 pts: int) -> tuple:
+    """Closed-ish Lissajous curl (the bench workload's stroke class:
+    bench.py make_images draws x=cos(a·t), y=sin(t) figures). Round-1's
+    known OOD failure was exactly this family — smooth-blob training data
+    never showed the model multi-lobe self-crossing curves."""
+    h, w = shape
+    span = rng.uniform(2.0, 5.0) * np.pi
+    t = np.linspace(0, span, pts) + rng.uniform(0, 2 * np.pi)
+    fx = int(rng.integers(1, 4))
+    fy = int(rng.integers(1, 3))
+    amp_x = rng.uniform(0.15, 0.48) * min(w, 4 * h) / 2
+    amp_y = rng.uniform(0.25, 0.48) * h
+    cx = rng.uniform(amp_x, max(w - amp_x, amp_x + 1))
+    cy = rng.uniform(0.5 * h - (0.48 * h - amp_y), 0.5 * h + (0.48 * h - amp_y))
+    x = cx + amp_x * np.cos(fx * t + rng.uniform(0, 2 * np.pi))
+    y = cy + amp_y * np.sin(fy * t)
+    return np.clip(x, 0, w - 1), np.clip(y, 0, h - 1)
+
+
+def _travel_curl_stroke(rng: np.random.Generator, shape: tuple[int, int],
+                        pts: int) -> tuple:
+    """Cursive-style traveling loops ('eeee'): a rightward drift plus a
+    rotating component, so consecutive loops cross themselves."""
+    h, w = shape
+    n_loops = rng.uniform(1.5, max(2.0, min(5.0, w / max(h, 1))))
+    t = np.linspace(0, n_loops * 2 * np.pi, pts)
+    amp_y = rng.uniform(0.2, 0.45) * h
+    amp_x = rng.uniform(0.5, 1.4) * amp_y
+    x0 = rng.uniform(0, max(w - amp_x * 2 - (w - 2 * amp_x) * 0.9, 1))
+    drift = rng.uniform(0.4, 1.0) * max(w - x0 - 2 * amp_x, 1) / t[-1]
+    cy = rng.uniform(0.35 * h, 0.65 * h)
+    x = x0 + amp_x + drift * t + amp_x * np.cos(t + rng.uniform(0, 2 * np.pi))
+    y = cy + amp_y * np.sin(t)
+    return np.clip(x, 0, w - 1), np.clip(y, 0, h - 1)
+
+
+def _zigzag_stroke(rng: np.random.Generator, shape: tuple[int, int],
+                   pts: int) -> tuple:
+    """High-curvature zigzag: sharp direction reversals the smooth family
+    never produces."""
+    h, w = shape
+    n_corners = int(rng.integers(3, 8))
+    cx = np.sort(rng.uniform(0, w, n_corners))
+    lo, hi = rng.uniform(0.1 * h, 0.4 * h), rng.uniform(0.6 * h, 0.9 * h)
+    cy = np.where(np.arange(n_corners) % 2 == 0, lo, hi)
+    cy = cy + rng.uniform(-0.08 * h, 0.08 * h, n_corners)
+    t = np.linspace(0, 1, pts)
+    ts = np.linspace(0, 1, n_corners)
+    x = np.interp(t, ts, cx)
+    y = np.interp(t, ts, cy)
+    return np.clip(x, 0, w - 1), np.clip(y, 0, h - 1)
+
+
+def _smooth_stroke(rng: np.random.Generator, shape: tuple[int, int],
+                   pts: int) -> tuple:
+    return random_strokes(rng, 1, shape, points_per_stroke=pts)[0]
+
+
+_STYLE_FNS = {
+    "smooth": _smooth_stroke,
+    "curl": _curl_stroke,
+    "travel": _travel_curl_stroke,
+    "zigzag": _zigzag_stroke,
+}
+# Point budgets per style: curls need more vertices to trace their loops.
+_STYLE_PTS = {
+    "smooth": (6, 23),
+    "curl": (24, 56),
+    "travel": (28, 72),
+    "zigzag": (10, 28),
+}
+
+
+def mixed_strokes(rng: np.random.Generator, shape: tuple[int, int],
+                  token_budget: int = 286, max_strokes: int = 6,
+                  style_probs: dict | None = None) -> list:
+    """Sample strokes of mixed styles under a hard token budget, so
+    ``tokens_from_strokes`` NEVER truncates (truncation force-writes EOS
+    mid-ink and teaches early stopping — round-1's coverage failure mode).
+
+    Budget accounting mirrors the decode grammar exactly: 2 tokens per
+    vertex, one BOS between strokes, one trailing EOS."""
+    probs = style_probs or {"smooth": 0.35, "curl": 0.3, "travel": 0.2,
+                            "zigzag": 0.15}
+    names = list(probs)
+    p = np.asarray([probs[k] for k in names], np.float64)
+    p /= p.sum()
+    strokes = []
+    remaining = token_budget - 1  # EOS
+    n = int(rng.integers(1, max_strokes + 1))
+    for i in range(n):
+        if i > 0:
+            remaining -= 1  # BOS separator
+        style = names[int(rng.choice(len(names), p=p))]
+        lo, hi = _STYLE_PTS[style]
+        pts = int(rng.integers(lo, hi + 1))
+        pts = min(pts, remaining // 2)
+        if pts < 4:
+            break
+        remaining -= 2 * pts
+        strokes.append(_STYLE_FNS[style](rng, shape, pts))
+    return strokes
+
+
 def rasterize_strokes(strokes, shape: tuple[int, int],
                       thickness: int = 2) -> np.ndarray:
     """Paint polylines into a (h, w) uint8 {0,1} mask by dense segment
@@ -110,9 +215,15 @@ def _photo_render(mask: np.ndarray, rng: np.random.Generator) -> np.ndarray:
 
 
 def make_line_sample(rng: np.random.Generator, height: int = 128,
-                     width: int = 1152, n_strokes: int = 12):
+                     width: int = 1152, n_strokes: int = 12,
+                     style: str = "mixed"):
     """(rgb line image, clean {0,1} mask) for binarizer training."""
-    strokes = random_strokes(rng, n_strokes, (height, width))
+    if style == "mixed":
+        # Token budget is irrelevant for binarizer masks; large cap.
+        strokes = mixed_strokes(rng, (height, width), token_budget=10_000,
+                                max_strokes=n_strokes)
+    else:
+        strokes = random_strokes(rng, n_strokes, (height, width))
     mask = rasterize_strokes(strokes, (height, width),
                              thickness=int(rng.integers(1, 4)))
     return _photo_render(mask, rng), mask
@@ -143,7 +254,8 @@ def make_glyph_sample(rng: np.random.Generator, image_size: int = 224,
 def make_partitioned_glyph_sample(rng: np.random.Generator,
                                   max_length: int = 384,
                                   height: int = 128,
-                                  max_window: int = 600):
+                                  max_window: int = 600,
+                                  style: str = "mixed"):
     """Training pair generated THROUGH the inference partition pipeline:
     strokes are drawn on a binarizer-height canvas, partitioned exactly
     like inference (pipeline/strokes.compute_partitions), and the ground
@@ -164,16 +276,18 @@ def make_partitioned_glyph_sample(rng: np.random.Generator,
     cfg = StrokesConfig()
     h = height
     for _ in range(8):  # resample until the ink forms a single partition
-        n = int(rng.integers(1, 7))
         win = int(np.exp(rng.uniform(np.log(30), np.log(max_window))))
-        # Up to 22 points/stroke: the worst case (6 strokes * 22 points * 2
-        # coordinate tokens + separators = 271) fits a 288-token teacher
-        # horizon UNTRUNCATED. Token truncation force-writes EOS mid-ink
-        # (tokens_from_strokes), and a model trained on truncated targets
-        # learns to stop early on dense glyphs — visible as partial stroke
-        # coverage on curl-dense lines.
-        strokes = random_strokes(rng, n, (h - 20, win),
-                                 points_per_stroke=int(rng.integers(6, 23)))
+        # Token-budgeted sampling: targets must NEVER truncate — truncation
+        # force-writes EOS mid-ink (tokens_from_strokes), and a model
+        # trained on truncated targets learns to stop early on dense
+        # glyphs (round-1's partial-coverage failure on curl-dense lines).
+        if style == "mixed":
+            strokes = mixed_strokes(rng, (h - 20, win),
+                                    token_budget=max_length - 2)
+        else:
+            n = int(rng.integers(1, 7))
+            strokes = random_strokes(rng, n, (h - 20, win),
+                                     points_per_stroke=int(rng.integers(6, 23)))
         strokes = [(x + 10, y + 10) for x, y in strokes]
         mask = rasterize_strokes(strokes, (h, win + 20),
                                  thickness=int(rng.integers(1, 4)))
@@ -189,14 +303,16 @@ def make_partitioned_glyph_sample(rng: np.random.Generator,
 
 def partitioned_glyph_batches(rng: np.random.Generator, batch_size: int,
                               seq_len: int = 96,
-                              n_batches: int | None = None):
+                              n_batches: int | None = None,
+                              style: str = "mixed"):
     """Yield (crops, tok_in, tok_out) built via the inference partition
     pipeline (see make_partitioned_glyph_sample)."""
     i = 0
     while n_batches is None or i < n_batches:
         crops, seqs = [], []
         for _ in range(batch_size):
-            model_in, _, t = make_partitioned_glyph_sample(rng, seq_len + 1)
+            model_in, _, t = make_partitioned_glyph_sample(rng, seq_len + 1,
+                                                           style=style)
             crops.append(model_in)
             seqs.append(t)
         seqs = np.stack(seqs)

@@ -97,6 +97,46 @@ def strokes_chamfer(pred_strokes, target_strokes) -> float:
     return float(d.min(axis=1).mean() + d.min(axis=0).mean()) / 2
 
 
+def _densify(strokes, spacing: float = 1.0) -> np.ndarray | None:
+    """All stroke polylines resampled at ~``spacing``-px arclength steps,
+    concatenated to (N,2) — segments between sparse vertices count."""
+    pts = []
+    for x, y in strokes:
+        x = np.asarray(x, np.float64)
+        y = np.asarray(y, np.float64)
+        if x.size == 0:
+            continue
+        if x.size == 1:
+            pts.append(np.stack([x, y], -1))
+            continue
+        seg = np.hypot(np.diff(x), np.diff(y))
+        ts = np.concatenate([[0.0], np.cumsum(seg)])
+        total = max(ts[-1], 1e-9)
+        t = np.linspace(0.0, total, int(np.ceil(total / spacing)) + 1)
+        pts.append(np.stack([np.interp(t, ts, x), np.interp(t, ts, y)], -1))
+    return np.concatenate(pts) if pts else None
+
+
+def stroke_coverage(pred_strokes, target_strokes, tol: float = 3.0) -> float:
+    """Fraction of ground-truth ink (densely resampled polyline points)
+    within ``tol`` px of the predicted strokes. 1.0 = full coverage; the
+    round-1 OOD failure mode (early EOS on dense curls) shows up here as
+    coverage well below 1 even when matched-stroke DTW looks fine."""
+    t = _densify(target_strokes)
+    if t is None:
+        return 1.0
+    p = _densify(pred_strokes)
+    if p is None:
+        return 0.0
+    # Chunked min-distance: keeps the (N,M) matrix bounded.
+    covered = 0
+    for i in range(0, len(t), 4096):
+        chunk = t[i:i + 4096]
+        d = np.linalg.norm(chunk[:, None, :] - p[None, :, :], axis=-1)
+        covered += int((d.min(axis=1) <= tol).sum())
+    return covered / len(t)
+
+
 def evaluate_pair(pred_mask, target_mask, pred_strokes, target_strokes) -> dict:
     return {
         "binarization_f1": binarization_f1(pred_mask, target_mask),

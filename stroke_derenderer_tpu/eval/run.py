@@ -16,21 +16,27 @@ import json
 import numpy as np
 
 from stroke_derenderer_tpu.cli import initialize_sessions
-from stroke_derenderer_tpu.eval import binarization_f1, stroke_dtw, strokes_chamfer
+from stroke_derenderer_tpu.eval import (
+    binarization_f1, stroke_coverage, stroke_dtw, strokes_chamfer,
+)
 
 
-def evaluate_full(models_dir, n: int = 8, seed: int = 0,
+def evaluate_full(models_dir, n: int = 50, seed: int = 0,
                   width: int = 1152, se_overrides: dict | None = None,
-                  dense: bool = False) -> dict:
+                  dense: bool = False, style: str = "smooth") -> dict:
     """Full metrics: binarization F1 on rendered lines, stroke DTW/chamfer on
     glyph-sized samples with known ground-truth polylines.
 
     ``dense=True`` scores a harder stroke distribution (40-point strokes ≈
     160+ tokens per glyph) that stresses decode-length generalization —
     models trained with a short teacher-forcing horizon truncate coverage
-    here (early EOS) long before they fail on the default set."""
+    here (early EOS) long before they fail on the default set.
+
+    ``style="mixed"`` scores the full mixed-family distribution (Lissajous
+    curls, traveling loops, zigzags — data/synthetic.mixed_strokes): the
+    bench workload's stroke class and round-1's known OOD failure."""
     from stroke_derenderer_tpu.data.synthetic import (
-        _photo_render, random_strokes, rasterize_strokes,
+        _photo_render, mixed_strokes, random_strokes, rasterize_strokes,
     )
 
     rng = np.random.default_rng(seed)
@@ -50,43 +56,58 @@ def evaluate_full(models_dir, n: int = 8, seed: int = 0,
 
     # Stroke metrics across the glyph-group width spectrum: narrow isolated
     # glyphs through whole-line-wide groups (small resize ratios).
-    dtws, chamfers = [], []
+    dtws, chamfers, coverages = [], [], []
     widths_cycle = [h, 2 * h, 4 * h]
     pts = 40 if dense else 24
     for i in range(n):
         cw = widths_cycle[i % len(widths_cycle)]
-        strokes = random_strokes(rng, int(rng.integers(1, 4)), (h, cw),
-                                 points_per_stroke=pts)
+        if style == "mixed":
+            strokes = mixed_strokes(rng, (h, cw), token_budget=380,
+                                    max_strokes=3)
+        else:
+            strokes = random_strokes(rng, int(rng.integers(1, 4)), (h, cw),
+                                     points_per_stroke=pts)
         mask = rasterize_strokes(strokes, (h, cw), thickness=2)
         pred_strokes = estimator.process_image(mask > 0)
         d = stroke_dtw(pred_strokes, strokes)
         c = strokes_chamfer(pred_strokes, strokes)
         dtws.append(d if np.isfinite(d) else None)
         chamfers.append(c if np.isfinite(c) else None)
+        coverages.append(stroke_coverage(pred_strokes, strokes))
 
     def _mean(xs):
         xs = [x for x in xs if x is not None]
         return float(np.mean(xs)) if xs else None
 
+    dtw_ok = [x for x in dtws if x is not None]
     return {
         "n": n,
         "binarization_f1": float(np.mean(f1s)),
         "stroke_dtw": _mean(dtws),
+        # 95% CI half-width of the DTW mean (VERDICT r1: eval was too small
+        # and interval-free to rank builder changes reliably).
+        "stroke_dtw_ci95": (float(1.96 * np.std(dtw_ok)
+                                  / max(len(dtw_ok), 1) ** 0.5)
+                            if len(dtw_ok) > 1 else None),
         "stroke_dtw_failures": sum(x is None for x in dtws),
         "stroke_chamfer": _mean(chamfers),
+        "stroke_coverage": _mean(coverages),
     }
 
 
 def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--models", required=True)
-    ap.add_argument("--n", type=int, default=8)
+    ap.add_argument("--n", type=int, default=50)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--decode", choices=["greedy", "beam"], default=None)
     ap.add_argument("--beam-size", type=int, default=None)
     ap.add_argument("--dense", action="store_true",
                     help="harder 40-point-stroke distribution (decode-length "
                          "generalization)")
+    ap.add_argument("--style", choices=["smooth", "mixed"], default="smooth",
+                    help="stroke eval distribution: 'mixed' includes "
+                         "Lissajous curls/loops/zigzags (the bench class)")
     args = ap.parse_args(argv)
     ov = {}
     if args.decode:
@@ -95,7 +116,7 @@ def main(argv=None):
         ov["beam_size"] = args.beam_size
     print(json.dumps(evaluate_full(args.models, args.n, args.seed,
                                    se_overrides=ov or None,
-                                   dense=args.dense)))
+                                   dense=args.dense, style=args.style)))
     return 0
 
 

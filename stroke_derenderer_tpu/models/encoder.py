@@ -28,8 +28,12 @@ ARCHS = {
 }
 
 
-def _gn(dtype):
-    # group_size=8 divides every width used here, including the tiny test arch.
+def _gn(dtype, norm: str = "group"):
+    # group_size=8 divides every width used here, including the tiny test
+    # arch. "batch" (inference-mode running stats) exists for torch-exported
+    # ONNX weight parity (weights/graph_import.py): torch ResNets are BN.
+    if norm == "batch":
+        return nn.BatchNorm(use_running_average=True, dtype=dtype)
     return nn.GroupNorm(num_groups=None, group_size=8, dtype=dtype)
 
 
@@ -37,20 +41,25 @@ class BasicBlock(nn.Module):
     features: int
     strides: int = 1
     dtype: jnp.dtype = jnp.bfloat16
+    norm: str = "group"
 
     @nn.compact
     def __call__(self, x):
         residual = x
+        # Explicit (1,1) padding, not "SAME": identical at stride 1, but
+        # SAME pads (0,1) on stride-2 convs where torch pads (1,1) — a
+        # one-pixel grid shift that breaks torch-exported weight parity.
         y = nn.Conv(self.features, (3, 3), (self.strides, self.strides),
-                    padding="SAME", use_bias=False, dtype=self.dtype)(x)
-        y = nn.relu(_gn(self.dtype)(y))
-        y = nn.Conv(self.features, (3, 3), padding="SAME", use_bias=False,
-                    dtype=self.dtype)(y)
-        y = _gn(self.dtype)(y)
+                    padding=[(1, 1), (1, 1)], use_bias=False,
+                    dtype=self.dtype)(x)
+        y = nn.relu(_gn(self.dtype, self.norm)(y))
+        y = nn.Conv(self.features, (3, 3), padding=[(1, 1), (1, 1)],
+                    use_bias=False, dtype=self.dtype)(y)
+        y = _gn(self.dtype, self.norm)(y)
         if residual.shape != y.shape:
             residual = nn.Conv(self.features, (1, 1), (self.strides, self.strides),
                                use_bias=False, dtype=self.dtype, name="proj")(x)
-            residual = _gn(self.dtype)(residual)
+            residual = _gn(self.dtype, self.norm)(residual)
         return nn.relu(y + residual)
 
 
@@ -58,22 +67,24 @@ class BottleneckBlock(nn.Module):
     features: int  # inner width; output is 4x
     strides: int = 1
     dtype: jnp.dtype = jnp.bfloat16
+    norm: str = "group"
 
     @nn.compact
     def __call__(self, x):
         residual = x
         y = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype)(x)
-        y = nn.relu(_gn(self.dtype)(y))
+        y = nn.relu(_gn(self.dtype, self.norm)(y))
         y = nn.Conv(self.features, (3, 3), (self.strides, self.strides),
-                    padding="SAME", use_bias=False, dtype=self.dtype)(y)
-        y = nn.relu(_gn(self.dtype)(y))
+                    padding=[(1, 1), (1, 1)], use_bias=False,
+                    dtype=self.dtype)(y)
+        y = nn.relu(_gn(self.dtype, self.norm)(y))
         y = nn.Conv(self.features * 4, (1, 1), use_bias=False, dtype=self.dtype)(y)
-        y = _gn(self.dtype)(y)
+        y = _gn(self.dtype, self.norm)(y)
         if residual.shape != y.shape:
             residual = nn.Conv(self.features * 4, (1, 1),
                                (self.strides, self.strides), use_bias=False,
                                dtype=self.dtype, name="proj")(x)
-            residual = _gn(self.dtype)(residual)
+            residual = _gn(self.dtype, self.norm)(residual)
         return nn.relu(y + residual)
 
 
@@ -81,6 +92,7 @@ class ResNetEncoder(nn.Module):
     """(B, 224, 224, 3) normalized float -> (B, 7, 7, C) feature map."""
     arch: str = "resnet50"
     dtype: jnp.dtype = jnp.bfloat16
+    norm: str = "group"
 
     @property
     def out_features(self) -> int:
@@ -94,13 +106,13 @@ class ResNetEncoder(nn.Module):
         x = x.astype(self.dtype)
         x = nn.Conv(stem, (7, 7), (2, 2), padding=[(3, 3), (3, 3)],
                     use_bias=False, dtype=self.dtype, name="stem")(x)
-        x = nn.relu(_gn(self.dtype)(x))
+        x = nn.relu(_gn(self.dtype, self.norm)(x))
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
         for i, n_blocks in enumerate(stages):
             features = stem * (2 ** i)
             for b in range(n_blocks):
                 strides = 2 if (b == 0 and i > 0) else 1
-                x = block(features, strides, self.dtype)(x)
+                x = block(features, strides, self.dtype, self.norm)(x)
         return x.astype(jnp.float32)
 
 

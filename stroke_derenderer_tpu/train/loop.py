@@ -91,7 +91,8 @@ def train_captioner(config: StrokesConfig, steps: int, batch_size: int,
                     log_every: int = 25, glyph_mode: str = "partitioned",
                     init_from: str | Path | None = None,
                     coord_sigma: float = 0.0,
-                    sample_prob: float = 0.0):
+                    sample_prob: float = 0.0,
+                    glyph_style: str = "mixed"):
     encoder, decoder, enc_vars, dec_vars, _ = init_strokes_variables(config, seed)
     params = {"encoder": enc_vars["params"], "decoder": dec_vars["params"]}
     if init_from is not None:
@@ -127,7 +128,8 @@ def train_captioner(config: StrokesConfig, steps: int, batch_size: int,
         # Crops generated through the inference partition pipeline — no
         # train/test distribution gap (data/synthetic.py).
         make = lambda w: partitioned_glyph_batches(
-            np.random.default_rng(seed + w), batch_size, seq_len)
+            np.random.default_rng(seed + w), batch_size, seq_len,
+            style=glyph_style)
     else:
         make = lambda w: glyph_batches(np.random.default_rng(seed + w),
                                        batch_size, config.image_size, seq_len)
@@ -186,6 +188,10 @@ def main(argv=None):
                     help="final probability of feeding the model's own "
                          "previous prediction instead of the gold token "
                          "(ramped linearly; captioner)")
+    ap.add_argument("--glyph-style", choices=["mixed", "smooth"],
+                    default="mixed",
+                    help="stroke family mix for captioner data: 'mixed' "
+                         "adds curls/loops/zigzags (data/synthetic.py)")
     args = ap.parse_args(argv)
 
     bin_kw = {}
@@ -202,7 +208,8 @@ def main(argv=None):
                         args.out, args.lr, args.seed, seq_len=args.seq_len,
                         init_from=args.init_from,
                         coord_sigma=args.coord_smoothing,
-                        sample_prob=args.scheduled_sampling)
+                        sample_prob=args.scheduled_sampling,
+                        glyph_style=args.glyph_style)
     return 0
 
 

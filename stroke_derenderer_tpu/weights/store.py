@@ -73,7 +73,8 @@ def init_binarizer_variables(config: BinarizerConfig, seed: int = 0):
 
 def build_strokes_models(config: StrokesConfig):
     dtype = jnp.dtype(config.compute_dtype)
-    encoder = ResNetEncoder(arch=config.encoder_arch, dtype=dtype)
+    encoder = ResNetEncoder(arch=config.encoder_arch, dtype=dtype,
+                            norm=config.encoder_norm)
     enc_dim = (config.projection_dim or encoder.out_features)
     decoder = AttentiveDecoder(
         vocab_size=config.vocab_size, embed_dim=config.embed_dim,
