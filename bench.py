@@ -62,15 +62,24 @@ def make_images(n: int, h: int = 200, w: int = 1800):
 def build():
     """The shipped flagship (models_demo: trained weights + configs), so the
     benchmark measures the artifact users actually run. Falls back to
-    default-config random init if the demo dir is missing."""
+    default-config random init if the demo dir is missing. With more than
+    one attached device, inference runs data-parallel over a ('dp',) mesh
+    (pipeline mesh mode)."""
+    import jax
+    mesh = None
+    if len(jax.devices()) > 1:
+        from stroke_derenderer_tpu.parallel import make_mesh
+        mesh = make_mesh(len(jax.devices()))
     if os.path.isdir(os.path.join(os.path.dirname(__file__) or ".",
                                   "models_demo")):
         from stroke_derenderer_tpu.cli import initialize_sessions
         return initialize_sessions(
-            os.path.join(os.path.dirname(__file__) or ".", "models_demo"))
+            os.path.join(os.path.dirname(__file__) or ".", "models_demo"),
+            mesh=mesh)
     from stroke_derenderer_tpu.config import BinarizerConfig, StrokesConfig
     from stroke_derenderer_tpu.pipeline import Binarizer, StrokeEstimator
-    return Binarizer(BinarizerConfig()), StrokeEstimator(StrokesConfig())
+    return (Binarizer(BinarizerConfig(), mesh=mesh),
+            StrokeEstimator(StrokesConfig(), mesh=mesh))
 
 
 def measure(platform: str | None = None, n_images: int = N_IMAGES,

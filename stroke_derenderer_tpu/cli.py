@@ -60,11 +60,16 @@ def parse_args(argv=None):
     parser.add_argument("--svg", action="store_true",
                         help="Also write <name>_STROKES.svg vector output "
                              "next to the JSON.")
+    parser.add_argument("--mesh", type=int, default=0, metavar="N",
+                        help="Data-parallel inference over the first N "
+                             "devices: params replicated, tile/glyph batch "
+                             "axes sharded over a ('dp',) mesh (SURVEY.md "
+                             "§2.4). 0/1 = single device.")
     return parser.parse_args(argv)
 
 
 def initialize_sessions(folderpath, fused: bool = False,
-                        se_overrides: dict | None = None):
+                        se_overrides: dict | None = None, mesh=None):
     """Build both pipelines from a model directory (reference main.py:33-64).
 
     Missing weight files fall back to random init with a warning so the
@@ -83,7 +88,7 @@ def initialize_sessions(folderpath, fused: bool = False,
     bin_weights = _opt("binarizer.msgpack")
     if folder and not bin_weights:
         print(f"[warn] {folder}/binarizer.msgpack not found; using random init")
-    binarizer = Binarizer(bin_cfg, weights_path=bin_weights)
+    binarizer = Binarizer(bin_cfg, weights_path=bin_weights, mesh=mesh)
 
     se_cfg_path = _opt("configs_strokes.json")
     se_cfg = StrokesConfig.from_json(se_cfg_path)
@@ -99,7 +104,8 @@ def initialize_sessions(folderpath, fused: bool = False,
             paths["projection"] = proj_w
     elif folder:
         print(f"[warn] stroke model weights not found in {folder}; using random init")
-    estimator = StrokeEstimator(se_cfg, weights_paths=paths or None)
+    estimator = StrokeEstimator(se_cfg, weights_paths=paths or None,
+                                mesh=mesh)
     binarizer.fused = fused
     return binarizer, estimator
 
@@ -212,8 +218,20 @@ def entrypoint(argv=None):
         se_overrides["device_partition"] = True
     if args.host_partition:
         se_overrides["device_partition"] = False
+    mesh = None
+    if args.mesh and args.mesh > 1:
+        import jax
+
+        from stroke_derenderer_tpu.parallel import make_mesh
+        n_dev = len(jax.devices())
+        if n_dev < args.mesh:
+            print(f"[warn] --mesh {args.mesh} requested but only {n_dev} "
+                  f"device(s) present; running single-device")
+        else:
+            mesh = make_mesh(args.mesh)
     binarizer, estimator = initialize_sessions(args.models, fused=args.fused,
-                                               se_overrides=se_overrides)
+                                               se_overrides=se_overrides,
+                                               mesh=mesh)
     runner = run_batched if args.batch else run
     runner(imgs, binarizer, estimator, args.output,
            strokes=not args.no_strokes, svg=args.svg)

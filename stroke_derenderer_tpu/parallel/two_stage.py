@@ -105,31 +105,59 @@ class TwoStagePipeline:
         errors: list = []
         thr = 255 * self.binarizer.config.bin_thr
 
+        stop = threading.Event()
+
+        def _put(item) -> bool:
+            """Bounded put that aborts when the consumer has stopped, so a
+            consumer exception can never leave this thread blocked on a
+            full queue."""
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def stage_a():
             try:
                 for idx in chunks:
+                    if stop.is_set():
+                        return
                     bins = self.binarizer.binarize_images(
                         [np.asarray(images[i]) for i in idx])
                     chunk_masks = [b[:, :, 0] > thr for b in bins]
                     for i, m in zip(idx, chunk_masks):
                         masks[i] = m
-                    q.put((idx, chunk_masks))
+                    if not _put((idx, chunk_masks)):
+                        return
             except Exception as exc:
                 errors.append(exc)
             finally:
-                q.put(None)
+                try:
+                    q.put_nowait(None)
+                except queue.Full:
+                    pass  # consumer already stopped and stopped draining
 
         t = threading.Thread(target=stage_a, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is None:
-                break
-            idx, chunk_masks = item
-            for i, s in zip(idx, self.estimator.process_images(
-                    chunk_masks, max_length=max_length)):
-                strokes[i] = s
-        t.join()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                idx, chunk_masks = item
+                for i, s in zip(idx, self.estimator.process_images(
+                        chunk_masks, max_length=max_length)):
+                    strokes[i] = s
+        finally:
+            stop.set()
+            while True:  # unblock a producer mid-put
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
+            t.join()
         if errors:
             raise errors[0]
         return masks, strokes

@@ -55,7 +55,12 @@ def _prep_line(image: np.ndarray, cfg: BinarizerConfig) -> np.ndarray:
 
 class Binarizer:
     def __init__(self, config: BinarizerConfig | None = None, variables=None,
-                 weights_path=None, seed: int = 0, fused: bool = False):
+                 weights_path=None, seed: int = 0, fused: bool = False,
+                 mesh=None):
+        """``mesh``: optional jax.sharding.Mesh with a 'dp' axis — params
+        are replicated and every tile/image batch axis is sharded across it
+        (SURVEY.md §2.4 DP plan). Outputs are bit-identical to single
+        device; tests/test_mesh_inference.py asserts it."""
         self.config = config or BinarizerConfig()
         if variables is not None:
             self.model = build_binarizer_model(self.config)
@@ -65,9 +70,15 @@ class Binarizer:
             self.variables = load_variables(template, weights_path)
         else:
             self.model, self.variables = init_binarizer_variables(self.config, seed)
-        # Pin params to the default accelerator once (init/deserialization
-        # leaves them on host; without this every call re-uploads them).
-        self.variables = jax.device_put(self.variables, jax.devices()[0])
+        self.mesh = mesh
+        self._dp = int(mesh.shape["dp"]) if mesh is not None else 1
+        if mesh is not None:
+            from stroke_derenderer_tpu.parallel import replicate
+            self.variables = jax.device_put(self.variables, replicate(mesh))
+        else:
+            # Pin params to the default accelerator once (init/deserialization
+            # leaves them on host; without this every call re-uploads them).
+            self.variables = jax.device_put(self.variables, jax.devices()[0])
         self.fused = fused
 
         @jax.jit
@@ -79,6 +90,14 @@ class Binarizer:
                              jnp.uint8(255), jnp.uint8(0))
 
         self._forward_mask = _forward_mask
+
+    def _shard_batch(self, arr):
+        """Shard a leading batch axis over the mesh's 'dp' axis (no-op
+        without a mesh)."""
+        if self.mesh is None:
+            return arr
+        from stroke_derenderer_tpu.parallel import batch_sharding
+        return jax.device_put(arr, batch_sharding(self.mesh, arr.ndim))
 
     # ------------------------------------------------------------------
     @functools.lru_cache(maxsize=64)
@@ -141,8 +160,13 @@ class Binarizer:
                     batch[..., :1], batch[..., 1:2]) and np.array_equal(
                     batch[..., :1], batch[..., 2:3]):
                 batch = batch[..., :1]  # achromatic: ship one channel
+            nb = _round_up(len(idxs), self._dp)
+            if nb != len(idxs):
+                batch = np.concatenate(
+                    [batch, np.zeros((nb - len(idxs),) + batch.shape[1:],
+                                     batch.dtype)])
             packed = np.asarray(self._fused_batch_program(plan)(
-                self.variables, batch))
+                self.variables, self._shard_batch(batch)))[:len(idxs)]
             masks = np.unpackbits(packed, axis=-1)[:, :, :plan.img_width]
             for j, i in enumerate(idxs):
                 out[i] = (masks[j] * 255).astype(np.uint8)[:, :, None]
@@ -150,13 +174,15 @@ class Binarizer:
 
     # ------------------------------------------------------------------
     def binarize_tiles(self, tiles_u8: np.ndarray) -> np.ndarray:
-        """Device forward on a pre-cut uint8 tile batch (bucket-padded)."""
+        """Device forward on a pre-cut uint8 tile batch (bucket-padded;
+        padded up to a dp multiple and batch-sharded when a mesh is set)."""
+        import math
         t = tiles_u8.shape[0]
-        tb = _round_up(t, self.config.batch_bucket)
+        tb = _round_up(t, math.lcm(self.config.batch_bucket, self._dp))
         if tb != t:
             pad = np.zeros((tb - t,) + tiles_u8.shape[1:], tiles_u8.dtype)
             tiles_u8 = np.concatenate([tiles_u8, pad], axis=0)
-        out = self._forward_mask(self.variables, tiles_u8)
+        out = self._forward_mask(self.variables, self._shard_batch(tiles_u8))
         return np.asarray(out[:t])
 
     def binarize_image(self, image: np.ndarray) -> np.ndarray:
@@ -165,6 +191,9 @@ class Binarizer:
         img_rs = _prep_line(image, cfg)
         plan = plan_tiles(img_rs.shape[1], cfg.width, cfg.overlap)
         if self.fused:
+            if self.mesh is not None:
+                from stroke_derenderer_tpu.parallel import replicate
+                img_rs = jax.device_put(img_rs, replicate(self.mesh))
             return np.asarray(self._fused_program(plan)(self.variables, img_rs))
         tiles = cut_tiles_np(img_rs, plan)
         masks = self.binarize_tiles(tiles)

@@ -43,9 +43,14 @@ def _round_up(n: int, m: int) -> int:
 
 class StrokeEstimator:
     def __init__(self, config: StrokesConfig | None = None, variables=None,
-                 weights_paths=None, seed: int = 0):
+                 weights_paths=None, seed: int = 0, mesh=None):
         """``variables``: optional (enc_vars, dec_vars, proj_vars) tuple;
-        ``weights_paths``: optional dict with keys encoder/decoder[/projection]."""
+        ``weights_paths``: optional dict with keys encoder/decoder[/projection];
+        ``mesh``: optional jax.sharding.Mesh with a 'dp' axis — params
+        replicated, the glyph batch axis sharded across chips (SURVEY.md
+        §2.4 DP plan; bit-identical outputs, tests/test_mesh_inference.py).
+        The fused Pallas decode kernels are single-chip programs, so mesh
+        mode decodes through the XLA while_loop path."""
         self.config = config or StrokesConfig()
         self.encoder, self.decoder = build_strokes_models(self.config)
         self.proj = None
@@ -69,12 +74,31 @@ class StrokeEstimator:
         else:
             (_, _, self.enc_vars, self.dec_vars,
              self.proj_vars) = init_strokes_variables(self.config, seed)
-        # Pin params to the default accelerator once (see Binarizer).
-        dev = jax.devices()[0]
-        self.enc_vars = jax.device_put(self.enc_vars, dev)
-        self.dec_vars = jax.device_put(self.dec_vars, dev)
+        self.mesh = mesh
+        self._dp = int(mesh.shape["dp"]) if mesh is not None else 1
+        if mesh is not None:
+            from stroke_derenderer_tpu.parallel import replicate
+            dst = replicate(mesh)
+        else:
+            # Pin params to the default accelerator once (see Binarizer).
+            dst = jax.devices()[0]
+        self.enc_vars = jax.device_put(self.enc_vars, dst)
+        self.dec_vars = jax.device_put(self.dec_vars, dst)
         if self.proj_vars is not None:
-            self.proj_vars = jax.device_put(self.proj_vars, dev)
+            self.proj_vars = jax.device_put(self.proj_vars, dst)
+
+    def _shard_batch(self, arr):
+        """Shard a leading glyph-batch axis over 'dp' (no-op without mesh)."""
+        if self.mesh is None:
+            return arr
+        from stroke_derenderer_tpu.parallel import batch_sharding
+        return jax.device_put(arr, batch_sharding(self.mesh, np.ndim(arr)))
+
+    def _replicated(self, arr):
+        if self.mesh is None:
+            return arr
+        from stroke_derenderer_tpu.parallel import replicate
+        return jax.device_put(arr, replicate(self.mesh))
 
     # ------------------------------------------------------------------
     def _normalize_raw(self, x):
@@ -102,8 +126,9 @@ class StrokeEstimator:
         # streaming it in the compute dtype (bf16) is ~2.6x faster at
         # B=80 with negligible effect on trained-model argmax.
         seq = seq.astype(jnp.dtype(cfg.compute_dtype))
+        fused_ok = self.mesh is None  # Pallas kernels are single-chip
         if cfg.decode == "beam":
-            if cfg.fused_decode and jax.default_backend() == "tpu":
+            if fused_ok and cfg.fused_decode and jax.default_backend() == "tpu":
                 from stroke_derenderer_tpu.kernels import fused_beam_decode
                 return fused_beam_decode(
                     self.decoder, dec_vars, seq, max_length,
@@ -112,7 +137,7 @@ class StrokeEstimator:
             return beam_decode(self.decoder, dec_vars, seq, max_length,
                                beam_size=cfg.beam_size,
                                length_penalty=cfg.length_penalty)
-        if cfg.fused_decode and jax.default_backend() == "tpu":
+        if fused_ok and cfg.fused_decode and jax.default_backend() == "tpu":
             # The WHOLE decode loop as one Pallas program with the
             # encoder sequence and decoder weights VMEM-resident
             # (kernels/fused_decode.py).
@@ -176,14 +201,16 @@ class StrokeEstimator:
         """(N, 224, 224, 3) float32 normalized crops — or (N, 224, 224)
         uint8 raw crops (normalized on device) — -> (N, max_length) int32
         token matrix."""
+        import math
         max_length = max_length or self.config.max_length
         n = images.shape[0]
-        nb = _round_up(max(n, 1), self.config.glyph_bucket)
+        nb = _round_up(max(n, 1),
+                       math.lcm(self.config.glyph_bucket, self._dp))
         if nb != n:
             pad = np.zeros((nb - n,) + images.shape[1:], images.dtype)
             images = np.concatenate([images, pad], axis=0)
         preds = self._estimate(self.enc_vars, self.dec_vars, self.proj_vars,
-                               images, max_length)
+                               self._shard_batch(images), max_length)
         return np.asarray(preds[:n])
 
     # ------------------------------------------------------------------
@@ -220,8 +247,9 @@ class StrokeEstimator:
         plan = plan_partitions(img_bin, cfg.margin, cfg.image_size)
         if plan is None:
             return []
+        import math
         n = len(plan.partitions)
-        nb = _round_up(n, cfg.glyph_bucket)
+        nb = _round_up(n, math.lcm(cfg.glyph_bucket, self._dp))
         wb = _round_up(img_bin.shape[1], 256)  # width bucket bounds recompiles
         gdt = np.int8 if len(plan.partitions) < 128 else np.int16
         gid = np.full((img_bin.shape[0], wb), -1, gdt)
@@ -232,12 +260,12 @@ class StrokeEstimator:
             out[:n] = a
             return out
 
-        coords = tuple(_pad_rows(getattr(plan, k)) for k in
+        coords = tuple(self._shard_batch(_pad_rows(getattr(plan, k))) for k in
                        ("yi0", "yi1", "wy0", "wy1",
                         "xi0", "xi1", "wx0", "wx1"))
         preds = self._estimate_partitioned(
-            self.enc_vars, self.dec_vars, self.proj_vars, gid, coords,
-            max_length or cfg.max_length)
+            self.enc_vars, self.dec_vars, self.proj_vars,
+            self._replicated(gid), coords, max_length or cfg.max_length)
         return self.process_tokens(np.asarray(preds[:n]), plan.partitions)
 
     def _process_images_device(self, imgs_bin, max_length: int | None):
@@ -269,7 +297,8 @@ class StrokeEstimator:
             if p is not None:
                 gid_stack[i, :m.shape[0], :m.shape[1]] = p.gid_img
 
-        nb = _round_up(ntot, cfg.glyph_bucket)
+        import math
+        nb = _round_up(ntot, math.lcm(cfg.glyph_bucket, self._dp))
         img_idx = np.zeros(nb, np.int32)
         local_id = np.full(nb, -2, np.int32)  # pad rows match no group
         keys = ("yi0", "yi1", "wy0", "wy1", "xi0", "xi1", "wx0", "wx1")
@@ -287,8 +316,10 @@ class StrokeEstimator:
             ofs += n
 
         preds = np.asarray(self._estimate_partitioned_batched(
-            self.enc_vars, self.dec_vars, self.proj_vars, gid_stack,
-            img_idx, local_id, tuple(coords[k] for k in keys),
+            self.enc_vars, self.dec_vars, self.proj_vars,
+            self._replicated(gid_stack), self._shard_batch(img_idx),
+            self._shard_batch(local_id),
+            tuple(self._shard_batch(coords[k]) for k in keys),
             max_length or cfg.max_length))
         out, ofs = [], 0
         for p, n in zip(plans, counts):

@@ -39,9 +39,27 @@ from stroke_derenderer_tpu.weights.store import (
 log = get_logger("train")
 
 
+def _mesh_tools(mesh):
+    """(shard_state, put_batch, jit_step) for multi-device training: params
+    and optimizer state take the tensor-parallel layout
+    (parallel.shard_params — opt-state moment trees share the param path
+    suffixes so the same specs apply), batches shard on 'dp', and the step
+    jits with donated state (train/steps.make_sharded_train_step)."""
+    from stroke_derenderer_tpu.parallel import batch_sharding, shard_params
+    from stroke_derenderer_tpu.train.steps import make_sharded_train_step
+
+    if mesh is None:
+        return (lambda t: t,
+                lambda b: b,
+                lambda f: jax.jit(f, donate_argnums=(0, 1)))
+    return (lambda t: shard_params(t, mesh),
+            lambda b: jax.device_put(b, batch_sharding(mesh, np.ndim(b))),
+            lambda f: make_sharded_train_step(f, mesh))
+
+
 def train_binarizer(config: BinarizerConfig, steps: int, batch_size: int,
                     out_dir: str | Path, lr: float = 3e-4, seed: int = 0,
-                    ckpt_every: int = 200, log_every: int = 25):
+                    ckpt_every: int = 200, log_every: int = 25, mesh=None):
     model, variables = init_binarizer_variables(config, seed)
     params = variables["params"]
     tx = optax.adamw(optax.warmup_cosine_decay_schedule(
@@ -55,7 +73,9 @@ def train_binarizer(config: BinarizerConfig, steps: int, batch_size: int,
         start_step, params, opt_state = restore_checkpoint(last, params, opt_state)
         log.info("resumed binarizer from %s (step %d)", last, start_step)
 
-    step_fn = jax.jit(make_binarizer_train_step(model, tx))
+    shard_state, put_batch, jit_step = _mesh_tools(mesh)
+    params, opt_state = shard_state(params), shard_state(opt_state)
+    step_fn = jit_step(make_binarizer_train_step(model, tx))
     from stroke_derenderer_tpu.data.loader import PrefetchLoader
     data = PrefetchLoader(
         lambda w: tile_batches(np.random.default_rng(seed + w), batch_size,
@@ -66,7 +86,8 @@ def train_binarizer(config: BinarizerConfig, steps: int, batch_size: int,
     for i, (tiles, masks) in enumerate(data, start=start_step):
         if i >= steps:
             break
-        params, opt_state, loss = step_fn(params, opt_state, tiles, masks)
+        params, opt_state, loss = step_fn(params, opt_state,
+                                          put_batch(tiles), put_batch(masks))
         if (i + 1) % log_every == 0:
             log.info("binarizer step %d loss %.4f (%.2f steps/s)",
                      i + 1, float(loss), log_every / max(time.time() - t0, 1e-9))
@@ -92,7 +113,7 @@ def train_captioner(config: StrokesConfig, steps: int, batch_size: int,
                     init_from: str | Path | None = None,
                     coord_sigma: float = 0.0,
                     sample_prob: float = 0.0,
-                    glyph_style: str = "mixed"):
+                    glyph_style: str = "mixed", mesh=None):
     encoder, decoder, enc_vars, dec_vars, _ = init_strokes_variables(config, seed)
     params = {"encoder": enc_vars["params"], "decoder": dec_vars["params"]}
     if init_from is not None:
@@ -118,7 +139,9 @@ def train_captioner(config: StrokesConfig, steps: int, batch_size: int,
         start_step, params, opt_state = restore_checkpoint(last, params, opt_state)
         log.info("resumed captioner from %s (step %d)", last, start_step)
 
-    step_fn = jax.jit(make_captioner_train_step(
+    shard_state, put_batch, jit_step = _mesh_tools(mesh)
+    params, opt_state = shard_state(params), shard_state(opt_state)
+    step_fn = jit_step(make_captioner_train_step(
         encoder, decoder, tx, enc_image_size=config.encode_image_size,
         coord_sigma=coord_sigma, sample_prob=sample_prob,
         total_steps=steps))
@@ -139,6 +162,8 @@ def train_captioner(config: StrokesConfig, steps: int, batch_size: int,
     for i, (crops, tok_in, tok_out) in enumerate(data, start=start_step):
         if i >= steps:
             break
+        crops, tok_in, tok_out = (put_batch(crops), put_batch(tok_in),
+                                  put_batch(tok_out))
         if sample_prob > 0:
             params, opt_state, loss = step_fn(params, opt_state, crops,
                                               tok_in, tok_out,
@@ -192,6 +217,13 @@ def main(argv=None):
                     default="mixed",
                     help="stroke family mix for captioner data: 'mixed' "
                          "adds curls/loops/zigzags (data/synthetic.py)")
+    ap.add_argument("--mesh", type=int, default=0, metavar="N",
+                    help="train over an N-device ('dp','tp') mesh: params "
+                         "and optimizer state in tensor-parallel layout, "
+                         "batches sharded on dp, donated state "
+                         "(parallel/mesh.py). 0/1 = single device.")
+    ap.add_argument("--tp", type=int, default=1,
+                    help="tensor-parallel extent within --mesh (default 1)")
     args = ap.parse_args(argv)
 
     bin_kw = {}
@@ -200,16 +232,23 @@ def main(argv=None):
         bin_kw = {"features": feats, "bottleneck": feats[-1] * 2}
     se_kw = {"encoder_arch": args.encoder_arch} if args.encoder_arch else {}
 
+    mesh = None
+    if args.mesh and args.mesh > 1:
+        from stroke_derenderer_tpu.parallel import make_mesh
+        mesh = make_mesh(args.mesh, tp=args.tp)
+        log.info("training on a (%d, %d) dp/tp mesh",
+                 mesh.shape["dp"], mesh.shape["tp"])
+
     if args.model in ("binarizer", "both"):
         train_binarizer(BinarizerConfig(**bin_kw), args.steps, args.batch,
-                        args.out, args.lr, args.seed)
+                        args.out, args.lr, args.seed, mesh=mesh)
     if args.model in ("captioner", "both"):
         train_captioner(StrokesConfig(**se_kw), args.steps, args.batch,
                         args.out, args.lr, args.seed, seq_len=args.seq_len,
                         init_from=args.init_from,
                         coord_sigma=args.coord_smoothing,
                         sample_prob=args.scheduled_sampling,
-                        glyph_style=args.glyph_style)
+                        glyph_style=args.glyph_style, mesh=mesh)
     return 0
 
 

@@ -176,3 +176,32 @@ def test_captioner_scheduled_sampling_step():
     assert abs(float(l_plain) - float(l_ss0)) < 1e-5
     _, _, l_ss50 = ss(params, opt, imgs, ti, to, jnp.int32(50))
     assert np.isfinite(float(l_ss50))
+
+
+def test_mesh_training_loss_parity():
+    """train/loop._mesh_tools: mesh-sharded steps match single-device losses
+    at fixed seed (VERDICT round-1 item 6)."""
+    from stroke_derenderer_tpu.parallel import make_mesh
+    from stroke_derenderer_tpu.train.loop import _mesh_tools
+
+    model = AttentionUNet(features=(8,), bottleneck=16, dtype=jnp.float32)
+    x = np.asarray(jax.random.uniform(jax.random.PRNGKey(0), (8, 16, 32, 3)))
+    y = np.asarray((x[..., :1] > 0.5).astype(np.float32))
+    tx = optax.adam(3e-3)
+
+    def run(mesh):
+        params = model.init(jax.random.PRNGKey(1), x[:1])["params"]
+        opt_state = tx.init(params)
+        shard_state, put_batch, jit_step = _mesh_tools(mesh)
+        params, opt_state = shard_state(params), shard_state(opt_state)
+        step = jit_step(make_binarizer_train_step(model, tx))
+        losses = []
+        for _ in range(5):
+            params, opt_state, loss = step(params, opt_state,
+                                           put_batch(x), put_batch(y))
+            losses.append(float(loss))
+        return losses
+
+    single = run(None)
+    sharded = run(make_mesh(8))
+    np.testing.assert_allclose(sharded, single, rtol=2e-5)

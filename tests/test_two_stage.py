@@ -58,3 +58,37 @@ def test_two_stage_matches_sequential():
             for (ax, ay), (bx, by) in zip(a, b):
                 np.testing.assert_allclose(ax, bx)
                 np.testing.assert_allclose(ay, by)
+
+
+def test_batched_consumer_exception_stops_producer():
+    """A consumer (stage-B) exception must propagate AND let the stage-A
+    producer thread exit instead of blocking forever on the full queue
+    (ADVICE r1: thread/chunk leak in long-lived serving processes)."""
+    import threading
+
+    bin_cfg = BinarizerConfig(features=(8, 16), bottleneck=32,
+                              compute_dtype="float32")
+    se_cfg = StrokesConfig(encoder_arch="tiny", embed_dim=16,
+                           attention_dim=16, decoder_dim=16, max_length=12,
+                           compute_dtype="float32")
+    pipe = TwoStagePipeline(Binarizer(bin_cfg, seed=0),
+                            StrokeEstimator(se_cfg, seed=0))
+
+    class Boom(RuntimeError):
+        pass
+
+    def explode(*a, **k):
+        raise Boom("stage B down")
+
+    pipe.estimator.process_images = explode
+    before = threading.active_count()
+    # Enough chunks that the producer would outlive a naive consumer abort.
+    imgs = _imgs(2) * 4
+    try:
+        pipe.process_batched(imgs, chunk_size=1)
+    except Boom:
+        pass
+    else:
+        raise AssertionError("consumer exception was swallowed")
+    # The producer was joined in the finally block: no leaked thread.
+    assert threading.active_count() <= before
