@@ -76,12 +76,20 @@ def initialize_sessions(folderpath, fused: bool = False,
     pipeline stays runnable end-to-end. ``se_overrides`` are StrokesConfig
     field overrides that win over the model dir's config JSON (used by the
     --decode/--beam-size CLI flags).
+
+    A directory holding the REFERENCE's artifacts (the five ONNX graphs +
+    config JSONs a reference user already has, /root/reference/main.py:43-62)
+    is detected and imported turnkey via weights/graph_import.py — pointing
+    -models at an unmodified reference download just works.
     """
     folder = Path(folderpath) if folderpath else None
 
     def _opt(name):
         p = folder / name if folder else None
         return p if (p and p.exists()) else None
+
+    if _opt("binarizer.onnx") and not _opt("binarizer.msgpack"):
+        return _sessions_from_onnx(folder, fused, se_overrides, mesh)
 
     bin_cfg_path = _opt("configs_binarizer.json")
     bin_cfg = BinarizerConfig.from_json(bin_cfg_path)
@@ -107,6 +115,25 @@ def initialize_sessions(folderpath, fused: bool = False,
     estimator = StrokeEstimator(se_cfg, weights_paths=paths or None,
                                 mesh=mesh)
     binarizer.fused = fused
+    return binarizer, estimator
+
+
+def _sessions_from_onnx(folder, fused, se_overrides, mesh):
+    """Build both pipelines straight from a reference ONNX model directory
+    (weights/graph_import.import_reference_models)."""
+    from stroke_derenderer_tpu.weights.graph_import import (
+        import_reference_models,
+    )
+    print(f"[info] importing reference ONNX models from {folder}")
+    (bin_cfg, bin_vars, se_cfg, enc_vars, dec_vars,
+     proj_vars) = import_reference_models(folder)
+    if se_overrides:
+        import dataclasses
+        se_cfg = dataclasses.replace(se_cfg, **se_overrides)
+    binarizer = Binarizer(bin_cfg, variables=bin_vars, mesh=mesh)
+    binarizer.fused = fused
+    estimator = StrokeEstimator(se_cfg, variables=(enc_vars, dec_vars,
+                                                   proj_vars), mesh=mesh)
     return binarizer, estimator
 
 

@@ -102,6 +102,9 @@ def main(argv=None):
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--decode", choices=["greedy", "beam"], default=None)
     ap.add_argument("--beam-size", type=int, default=None)
+    ap.add_argument("--length-penalty", type=float, default=None,
+                    help="GNMT length normalization for beam ranking "
+                         "(beam decode only; config.length_penalty)")
     ap.add_argument("--dense", action="store_true",
                     help="harder 40-point-stroke distribution (decode-length "
                          "generalization)")
@@ -114,6 +117,8 @@ def main(argv=None):
         ov["decode"] = args.decode
     if args.beam_size:
         ov["beam_size"] = args.beam_size
+    if args.length_penalty is not None:
+        ov["length_penalty"] = args.length_penalty
     print(json.dumps(evaluate_full(args.models, args.n, args.seed,
                                    se_overrides=ov or None,
                                    dense=args.dense, style=args.style)))

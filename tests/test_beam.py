@@ -56,6 +56,23 @@ def test_beam_score_at_least_greedy(dec_and_vars):
         assert sb >= sg - 1e-4
 
 
+def test_length_penalty_rerank(dec_and_vars):
+    """GNMT length normalization must be able to re-rank the final beams,
+    and when a large penalty flips the winner it must pick a sequence at
+    least as long (score/((5+len)/6)**p pulls negative log-probs toward 0
+    for longer beams)."""
+    dec, v = dec_and_vars
+    for seed in range(60):
+        enc = jax.random.normal(jax.random.PRNGKey(100 + seed), (1, 9, 12))
+        plain = np.asarray(beam_decode(dec, v, enc, 16, beam_size=5))
+        pen = np.asarray(beam_decode(dec, v, enc, 16, beam_size=5,
+                                     length_penalty=5.0))
+        if not np.array_equal(plain, pen):
+            assert (pen[0] != PAD).sum() >= (plain[0] != PAD).sum()
+            return
+    raise AssertionError("length_penalty never changed beam selection")
+
+
 def test_beam_pad_after_eos(dec_and_vars):
     dec, v = dec_and_vars
     enc = jax.random.normal(jax.random.PRNGKey(3), (2, 9, 12))

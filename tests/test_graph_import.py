@@ -538,3 +538,14 @@ def test_import_reference_models_turnkey(tmp_path):
     assert binarizer.config.norm == "batch"
     assert estimator.config.encoder_arch == "tiny"
     assert estimator.config.encoder_norm == "batch"
+
+    # Turnkey: -models pointed at the RAW reference ONNX dir (no msgpack
+    # files) must import on the fly and run e2e (cli._sessions_from_onnx).
+    binarizer2, estimator2 = initialize_sessions(onnx_dir)
+    assert binarizer2.config.features == (8, 16)
+    line = np.full((40, 200, 3), 255, np.uint8)
+    line[18:21, 20:180] = 0
+    mask = binarizer2.binarize_image(line)
+    assert mask.shape[0] == 32 and set(np.unique(mask)) <= {0, 255}
+    strokes = estimator2.process_image(line[:32, :, 0] < 128)
+    assert isinstance(strokes, list)
