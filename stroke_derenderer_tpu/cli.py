@@ -65,6 +65,10 @@ def parse_args(argv=None):
                              "devices: params replicated, tile/glyph batch "
                              "axes sharded over a ('dp',) mesh (SURVEY.md "
                              "§2.4). 0/1 = single device.")
+    parser.add_argument("--mesh-tp", type=int, default=1, metavar="K",
+                        help="Sequence-parallel extent within --mesh: the "
+                             "binarizer's tile WIDTH axis shards over a tp "
+                             "axis of size K (N must be divisible by K).")
     return parser.parse_args(argv)
 
 
@@ -255,7 +259,7 @@ def entrypoint(argv=None):
             print(f"[warn] --mesh {args.mesh} requested but only {n_dev} "
                   f"device(s) present; running single-device")
         else:
-            mesh = make_mesh(args.mesh)
+            mesh = make_mesh(args.mesh, tp=args.mesh_tp)
     binarizer, estimator = initialize_sessions(args.models, fused=args.fused,
                                                se_overrides=se_overrides,
                                                mesh=mesh)

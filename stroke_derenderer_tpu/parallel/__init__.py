@@ -1,4 +1,4 @@
 from stroke_derenderer_tpu.parallel.mesh import (  # noqa: F401
-    make_mesh, batch_sharding, replicate, binarizer_param_spec,
-    decoder_param_spec, shard_params,
+    make_mesh, batch_sharding, replicate, tile_sharding,
+    binarizer_param_spec, decoder_param_spec, shard_params,
 )

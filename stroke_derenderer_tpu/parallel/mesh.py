@@ -44,6 +44,17 @@ def replicate(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def tile_sharding(mesh: Mesh, ndim: int, width: int) -> NamedSharding:
+    """Sharding for NHWC tile batches: batch on 'dp' and — when the mesh
+    has a tp extent that divides the tile width — the WIDTH axis on 'tp'
+    (sequence parallelism over the line's pixel-width axis; the UNet's
+    convs get their halo exchanges from GSPMD). Falls back to dp-only."""
+    tp = int(mesh.shape["tp"])
+    if ndim == 4 and tp > 1 and width % tp == 0:
+        return NamedSharding(mesh, P("dp", None, "tp", None))
+    return batch_sharding(mesh, ndim)
+
+
 # ------------------------- parameter partitioning -------------------------
 
 def _spec_for_path(path: str, leaf) -> P:

@@ -92,12 +92,15 @@ class Binarizer:
         self._forward_mask = _forward_mask
 
     def _shard_batch(self, arr):
-        """Shard a leading batch axis over the mesh's 'dp' axis (no-op
-        without a mesh)."""
+        """Shard a leading batch axis over the mesh's 'dp' axis; NHWC tile
+        batches additionally shard their WIDTH axis over 'tp' when the mesh
+        has one (sequence parallelism — SURVEY.md §2.4 SP row). No-op
+        without a mesh."""
         if self.mesh is None:
             return arr
-        from stroke_derenderer_tpu.parallel import batch_sharding
-        return jax.device_put(arr, batch_sharding(self.mesh, arr.ndim))
+        from stroke_derenderer_tpu.parallel import tile_sharding
+        width = arr.shape[2] if arr.ndim == 4 else 0
+        return jax.device_put(arr, tile_sharding(self.mesh, arr.ndim, width))
 
     # ------------------------------------------------------------------
     @functools.lru_cache(maxsize=64)

@@ -55,6 +55,20 @@ def test_binarizer_mesh_bit_identical(mesh):
                                   sharded.binarize_image(imgs[0]))
 
 
+def test_binarizer_mesh_sp_bit_identical():
+    """(dp=4, tp=2) mesh: the tile WIDTH axis shards on tp (sequence
+    parallelism; parallel.tile_sharding) — still bit-identical."""
+    cfg = BinarizerConfig(features=(8, 16), bottleneck=32,
+                          compute_dtype="float32")
+    sp_mesh = make_mesh(8, tp=2)
+    single = Binarizer(cfg, seed=7)
+    sharded = Binarizer(cfg, seed=7, mesh=sp_mesh)
+    imgs = _line_images()
+    for r, g in zip(single.binarize_images(imgs),
+                    sharded.binarize_images(imgs)):
+        np.testing.assert_array_equal(r, g)
+
+
 def _tiny_se_cfg(**kw):
     return StrokesConfig(encoder_arch="tiny", embed_dim=16, attention_dim=16,
                          decoder_dim=16, image_size=56, encode_image_size=4,
