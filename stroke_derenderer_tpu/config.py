@@ -123,6 +123,13 @@ class StrokesConfig:
     decode: str = "greedy"  # "greedy" | "beam"
     beam_size: int = 5
     length_penalty: float = 0.0  # GNMT length normalization (beam only)
+    # Coverage-driven re-decode (new; 0.0 = off): after the first pass, ink
+    # not within ~redecode_tol px of any predicted stroke is re-partitioned
+    # and decoded once more when covered fraction < redecode_coverage
+    # (counters the early-EOS failure mode on dense glyphs: the model stops
+    # but the uncovered ink is still there to be traced).
+    redecode_coverage: float = 0.0
+    redecode_tol: int = 2
 
     # TPU execution.
     compute_dtype: str = "bfloat16"
@@ -161,7 +168,8 @@ class StrokesConfig:
     # decode strategy and kernel/batching choices evolve with the code and
     # must not be pinned by whatever defaults held at training time.
     EXEC_FIELDS = ("decode", "beam_size", "length_penalty", "glyph_bucket",
-                   "device_partition", "fused_decode", "fused_block_b")
+                   "device_partition", "fused_decode", "fused_block_b",
+                   "redecode_coverage", "redecode_tol")
 
     @classmethod
     def from_json(cls, configs_path: str | Path | None = None, **params) -> "StrokesConfig":

@@ -105,6 +105,9 @@ def main(argv=None):
     ap.add_argument("--length-penalty", type=float, default=None,
                     help="GNMT length normalization for beam ranking "
                          "(beam decode only; config.length_penalty)")
+    ap.add_argument("--redecode", type=float, default=None,
+                    help="coverage-driven residual re-decode floor "
+                         "(config.redecode_coverage), e.g. 0.9")
     ap.add_argument("--dense", action="store_true",
                     help="harder 40-point-stroke distribution (decode-length "
                          "generalization)")
@@ -119,6 +122,8 @@ def main(argv=None):
         ov["beam_size"] = args.beam_size
     if args.length_penalty is not None:
         ov["length_penalty"] = args.length_penalty
+    if args.redecode is not None:
+        ov["redecode_coverage"] = args.redecode
     print(json.dumps(evaluate_full(args.models, args.n, args.seed,
                                    se_overrides=ov or None,
                                    dense=args.dense, style=args.style)))

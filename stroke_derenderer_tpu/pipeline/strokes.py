@@ -41,6 +41,33 @@ def _round_up(n: int, m: int) -> int:
     return -(-n // m) * m
 
 
+def residual_ink(mask: np.ndarray, strokes, tol: int = 2,
+                 min_px: int = 16) -> np.ndarray | None:
+    """Ink in ``mask`` (bool, (h, w)) not within ~``tol`` px of any
+    predicted polyline; connected residual specks below ``min_px`` pixels
+    are dropped (they decode to noise, not strokes). Returns None when
+    nothing survives."""
+    from scipy import ndimage
+
+    from stroke_derenderer_tpu.data.synthetic import rasterize_strokes
+
+    if strokes:
+        cov = rasterize_strokes(strokes, mask.shape,
+                                thickness=tol + 1).astype(bool)
+        resid = mask & ~cov
+    else:
+        resid = mask
+    if not resid.any():
+        return None
+    lab, n = ndimage.label(resid, structure=np.ones((3, 3), bool))
+    if n == 0:
+        return None
+    sizes = np.bincount(lab.ravel())
+    sizes[0] = 0
+    resid = (sizes >= min_px)[lab]
+    return resid if resid.any() else None
+
+
 class StrokeEstimator:
     def __init__(self, config: StrokesConfig | None = None, variables=None,
                  weights_paths=None, seed: int = 0, mesh=None):
@@ -328,9 +355,7 @@ class StrokeEstimator:
             ofs += n
         return out
 
-    def process_image(self, img_bin: np.ndarray, max_length: int | None = None):
-        """Binarized image -> ordered strokes in the binarized image's
-        coordinate frame (reference evaluate_strokes.py:163-183)."""
+    def _process_image_once(self, img_bin, max_length: int | None):
         if self.config.device_partition:
             return self._process_image_device(img_bin, max_length)
         partitions = self.get_partitions(img_bin)
@@ -341,10 +366,7 @@ class StrokeEstimator:
         preds = self.estimate_strokes(batch, max_length=max_length)
         return self.process_tokens(preds, partitions)
 
-    def process_images(self, imgs_bin, max_length: int | None = None):
-        """Cross-image batching: the glyph crops of EVERY image run through
-        one encoder + decode program (the reference is strictly per-image).
-        Returns one stroke list per input image."""
+    def _process_images_once(self, imgs_bin, max_length: int | None):
         if self.config.device_partition:
             return self._process_images_device(imgs_bin, max_length)
         all_parts = [self.get_partitions(m) for m in imgs_bin]
@@ -359,6 +381,56 @@ class StrokeEstimator:
         for parts, n in zip(all_parts, counts):
             out.append(self.process_tokens(preds[ofs:ofs + n], parts) if n else [])
             ofs += n
+        return out
+
+    def _residual_for(self, img_bin, strokes):
+        """Residual ink mask when coverage is below the configured floor,
+        else None."""
+        cfg = self.config
+        mask = np.asarray(img_bin)
+        if mask.ndim == 3:
+            mask = mask[:, :, 0]
+        mask = mask.astype(bool)
+        ink = int(mask.sum())
+        if ink == 0:
+            return None
+        resid = residual_ink(mask, strokes, tol=cfg.redecode_tol)
+        if resid is None or 1.0 - resid.sum() / ink >= cfg.redecode_coverage:
+            return None
+        return resid
+
+    def process_image(self, img_bin: np.ndarray, max_length: int | None = None):
+        """Binarized image -> ordered strokes in the binarized image's
+        coordinate frame (reference evaluate_strokes.py:163-183). With
+        ``config.redecode_coverage`` > 0, uncovered ink gets one residual
+        decode pass and the merged strokes are re-sorted."""
+        strokes = self._process_image_once(img_bin, max_length)
+        if self.config.redecode_coverage <= 0:
+            return strokes
+        resid = self._residual_for(img_bin, strokes)
+        if resid is None:
+            return strokes
+        extra = self._process_image_once(resid, max_length)
+        return sort_strokes(strokes + extra) if extra else strokes
+
+    def process_images(self, imgs_bin, max_length: int | None = None):
+        """Cross-image batching: the glyph crops of EVERY image run through
+        one encoder + decode program (the reference is strictly per-image).
+        Returns one stroke list per input image. Residual re-decode (see
+        process_image) batches the flagged images' residual masks through
+        one second pass."""
+        out = self._process_images_once(imgs_bin, max_length)
+        if self.config.redecode_coverage <= 0:
+            return out
+        resids = [self._residual_for(m, s) for m, s in zip(imgs_bin, out)]
+        todo = [i for i, r in enumerate(resids) if r is not None]
+        if not todo:
+            return out
+        extras = self._process_images_once([resids[i] for i in todo],
+                                           max_length)
+        for i, extra in zip(todo, extras):
+            if extra:
+                out[i] = sort_strokes(out[i] + extra)
         return out
 
 

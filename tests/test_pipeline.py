@@ -187,3 +187,42 @@ def test_beam_decode_pipeline_path(estimator):
                    estimator.proj_vars))
     for x, y in beam3.process_image(mask, max_length=12):
         assert x.shape == y.shape
+
+
+def test_residual_ink():
+    from stroke_derenderer_tpu.pipeline.strokes import residual_ink
+    mask = np.zeros((64, 128), bool)
+    mask[10:13, 10:60] = True     # blob A (covered below)
+    mask[40:43, 70:120] = True    # blob B (uncovered)
+    mask[5, 5] = True             # speck (dropped by min_px)
+    covered = [(np.arange(10, 60), np.full(50, 11.0))]
+    resid = residual_ink(mask, covered, tol=2)
+    assert resid is not None
+    assert not resid[10:13, 10:60].any()      # A removed
+    assert resid[41, 90]                      # B survives
+    assert not resid[5, 5]                    # speck dropped
+    # Full coverage -> None.
+    both = covered + [(np.arange(70, 120), np.full(50, 41.0))]
+    assert residual_ink(mask, both, tol=2) is None
+
+
+@pytest.mark.parametrize("device_partition", [False, True])
+def test_redecode_coverage_merges_residual(device_partition):
+    """redecode_coverage > 0: a second decode pass runs on uncovered ink
+    and its strokes merge into the (re-sorted) output; never fewer strokes
+    than the single pass."""
+    import dataclasses
+    cfg = dataclasses.replace(TINY_SE, device_partition=device_partition)
+    base = StrokeEstimator(cfg, seed=3)
+    redo = StrokeEstimator(dataclasses.replace(cfg, redecode_coverage=1.0),
+                           seed=3)
+    mask = _line_image(w=500)[:, :, 0] < 128
+    first = base.process_image(mask)
+    merged = redo.process_image(mask)
+    assert len(merged) >= len(first)
+    # Batched path agrees with the per-image path.
+    batched = redo.process_images([mask, np.zeros_like(mask)])
+    assert len(batched) == 2 and batched[1] == []
+    for (ax, ay), (bx, by) in zip(merged, batched[0]):
+        np.testing.assert_array_equal(ax, bx)
+        np.testing.assert_array_equal(ay, by)
