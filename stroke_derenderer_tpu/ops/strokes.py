@@ -112,6 +112,44 @@ def sort_strokes(strokes: list[Stroke]) -> list[Stroke]:
     return out
 
 
+def merge_stroke_fragments(strokes: list[Stroke], tol: float = 4.0) -> list[Stroke]:
+    """Join polylines whose endpoints nearly touch (within ``tol`` px) into
+    single strokes, closest pair first.
+
+    Post-processing for the residual re-decode path (pipeline/strokes.py):
+    the second decode pass emits the *uncovered remainder* of partially
+    traced strokes, so one ground-truth stroke ends up split across two
+    predictions — which is exactly what degrades per-stroke DTW matching
+    even as ink coverage improves. Merging nearly-touching endpoints
+    reassembles those fragments. Not applied to the base (reference-parity)
+    path, whose output contract this would alter."""
+    strokes = [(np.asarray(x, np.float64), np.asarray(y, np.float64))
+               for x, y in strokes if np.asarray(x).size]
+    while len(strokes) > 1:
+        best_d, best = tol, None
+        for i in range(len(strokes)):
+            xi, yi = strokes[i]
+            for j in range(i + 1, len(strokes)):
+                xj, yj = strokes[j]
+                for ei in (0, -1):
+                    for ej in (0, -1):
+                        d = float(np.hypot(xi[ei] - xj[ej], yi[ei] - yj[ej]))
+                        if d <= best_d:
+                            best_d, best = d, (i, j, ei, ej)
+        if best is None:
+            break
+        i, j, ei, ej = best
+        xi, yi = strokes[i]
+        xj, yj = strokes[j]
+        if ei == 0:  # joined endpoint must be stroke i's tail
+            xi, yi = xi[::-1], yi[::-1]
+        if ej == -1:  # ... and stroke j's head
+            xj, yj = xj[::-1], yj[::-1]
+        strokes[i] = (np.concatenate([xi, xj]), np.concatenate([yi, yj]))
+        del strokes[j]
+    return strokes
+
+
 def strokes_to_json(strokes: list[Stroke], scale: float = 1.0) -> list:
     """Scale and convert to the output JSON structure [[X_list, Y_list], ...]
     (reference main.py:81-88, 122-131)."""

@@ -30,7 +30,8 @@ from stroke_derenderer_tpu.models import (
 from stroke_derenderer_tpu.ops import grouping
 from stroke_derenderer_tpu.ops.normalize import imagenet_normalize_np, minmax_normalize_np
 from stroke_derenderer_tpu.ops.strokes import (
-    clip_strokes, inverse_transform, sort_strokes, tokens_to_strokes,
+    clip_strokes, inverse_transform, merge_stroke_fragments, sort_strokes,
+    tokens_to_strokes,
 )
 from stroke_derenderer_tpu.weights.store import (
     build_strokes_models, init_strokes_variables, load_variables,
@@ -411,7 +412,17 @@ class StrokeEstimator:
         if resid is None:
             return strokes
         extra = self._process_image_once(resid, max_length)
-        return sort_strokes(strokes + extra) if extra else strokes
+        return self._merge_redecoded(strokes, extra)
+
+    def _merge_redecoded(self, strokes, extra):
+        """Combine base + residual strokes: stitch fragments whose endpoints
+        nearly touch (a re-decoded remainder continues a partially traced
+        stroke), then re-sort into writing order."""
+        if not extra:
+            return strokes
+        merged = merge_stroke_fragments(strokes + extra,
+                                        tol=2.0 * self.config.redecode_tol + 2)
+        return sort_strokes(merged)
 
     def process_images(self, imgs_bin, max_length: int | None = None):
         """Cross-image batching: the glyph crops of EVERY image run through
@@ -429,8 +440,7 @@ class StrokeEstimator:
         extras = self._process_images_once([resids[i] for i in todo],
                                            max_length)
         for i, extra in zip(todo, extras):
-            if extra:
-                out[i] = sort_strokes(out[i] + extra)
+            out[i] = self._merge_redecoded(out[i], extra)
         return out
 
 

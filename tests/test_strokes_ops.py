@@ -112,3 +112,32 @@ def test_sort_matches_reference(seed):
     for (ox, oy), (rx, ry) in zip(ours, ref):
         np.testing.assert_allclose(ox, rx)
         np.testing.assert_allclose(oy, ry)
+
+
+def test_merge_stroke_fragments_joins_touching_chains():
+    # Three fragments of one horizontal line (gaps ~2 px) + one far stroke.
+    a = (np.arange(0.0, 20.0), np.zeros(20))
+    b = (np.arange(22.0, 40.0), np.zeros(18))
+    c = (np.arange(41.0, 60.0), np.zeros(19))
+    far = (np.arange(0.0, 10.0), np.full(10, 90.0))
+    out = sops.merge_stroke_fragments([far, c, a, b], tol=4.0)
+    assert len(out) == 2
+    joined = max(out, key=lambda s: s[0].size)
+    assert joined[0].size == 20 + 18 + 19
+    # Chain is continuous and monotone (either direction is a valid join).
+    d = np.diff(joined[0])
+    assert np.all(d > 0) or np.all(d < 0)
+    np.testing.assert_array_equal(joined[1], 0)
+
+
+def test_merge_stroke_fragments_respects_tol_and_orientation():
+    # Tail-to-tail adjacency: second fragment arrives reversed.
+    a = (np.arange(0.0, 10.0), np.zeros(10))          # tail at x=9
+    b = (np.arange(25.0, 10.0, -1.0), np.zeros(15))   # tail at x=11
+    out = sops.merge_stroke_fragments([a, b], tol=3.0)
+    assert len(out) == 1
+    assert np.all(np.diff(out[0][0]) != 0)
+    # Beyond tol: untouched.
+    outside = sops.merge_stroke_fragments([a, (np.arange(20.0, 30.0),
+                                               np.zeros(10))], tol=3.0)
+    assert len(outside) == 2
