@@ -96,6 +96,8 @@ def evaluate_full(models_dir, n: int = 50, seed: int = 0,
 
 
 def main(argv=None):
+    from stroke_derenderer_tpu.utils import honor_platform_env
+    honor_platform_env()
     ap = argparse.ArgumentParser()
     ap.add_argument("--models", required=True)
     ap.add_argument("--n", type=int, default=50)

@@ -180,6 +180,8 @@ def make_handler(worker: BatchWorker, timeout_s: float = 120.0):
 
 
 def main(argv=None):
+    from stroke_derenderer_tpu.utils import honor_platform_env
+    honor_platform_env()
     ap = argparse.ArgumentParser()
     ap.add_argument("--models", default=None)
     ap.add_argument("--host", default="127.0.0.1")

@@ -191,6 +191,8 @@ def train_captioner(config: StrokesConfig, steps: int, batch_size: int,
 
 
 def main(argv=None):
+    from stroke_derenderer_tpu.utils import honor_platform_env
+    honor_platform_env()
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", choices=["binarizer", "captioner", "both"],
                     default="both")
