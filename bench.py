@@ -34,8 +34,8 @@ import numpy as np
 # Measured on this host via `python bench.py --measure-cpu` (same models,
 # same workload, same n_images=8, jax CPU backend). Refresh after
 # model-architecture changes.
-CPU_BASELINE_IPS = 0.688  # images/sec (2026-08-17, jax 0.9.0 CPU,
-# models_demo weights/configs, auto-fused batched binarize, n_images=8 —
+CPU_BASELINE_IPS = 0.5772  # images/sec (2026-08-18, jax 0.9.0 CPU,
+# models_demo v8 weights/configs, auto-fused batched binarize, n_images=8 —
 # the shipped artifact, code path, AND batch geometry on both sides
 # (ADVICE r1: same cross-image amortization in numerator and denominator))
 

@@ -4,9 +4,12 @@ Fixed input PNG -> byte-pinned _BINARIZED.png + _STROKES.json through the
 CLI with the COMMITTED models_demo weights, so contract or numerics
 regressions are caught on the CPU backend without a TPU. The goldens were
 produced by the same pipeline on this environment's jax/XLA CPU backend
-(deterministic); regenerate with
+(deterministic); regenerate UNDER THE SUITE'S ENV — the 8-virtual-device
+flag changes XLA CPU reduction order enough to move the greedy decode —
+with
 
-    python -m stroke_derenderer_tpu.cli -models models_demo \
+    JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+        python -m stroke_derenderer_tpu.cli -models models_demo \
         -input tests/golden --output /tmp/golden_out
 
 and copy the outputs over tests/golden/expected_* ONLY after verifying the
