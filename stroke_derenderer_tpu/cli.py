@@ -71,6 +71,13 @@ def parse_args(argv=None):
                              "devices: params replicated, tile/glyph batch "
                              "axes sharded over a ('dp',) mesh (SURVEY.md "
                              "§2.4). 0/1 = single device.")
+    parser.add_argument("--two-stage", type=int, nargs="?", const=8,
+                        default=0, metavar="CHUNK",
+                        help="Pipeline-parallel overlap: binarize chunk k+1 "
+                             "while chunk k's strokes decode "
+                             "(parallel.TwoStagePipeline; stages live on "
+                             "disjoint device halves when >1 device). "
+                             "Optional value = chunk size (default 8).")
     parser.add_argument("--mesh-tp", type=int, default=1, metavar="K",
                         help="Sequence-parallel extent within --mesh: the "
                              "binarizer's tile WIDTH axis shards over a tp "
@@ -224,6 +231,45 @@ def run_batched(imgs, binarizer: Binarizer, estimator: StrokeEstimator | None,
     return len(imgs)
 
 
+def run_two_stage(imgs, binarizer: Binarizer,
+                  estimator: StrokeEstimator | None, output_folder,
+                  chunk_size: int = 8, strokes: bool = True,
+                  svg: bool = False) -> int:
+    """Pipeline-parallel mode: stage A (binarize) overlaps stage B (stroke
+    decode) across chunks of the image stream (parallel.TwoStagePipeline).
+    Same outputs/filenames as :func:`run`; timing prints are amortized."""
+    out_dir = Path(output_folder)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    if not imgs:
+        return 0
+    if not strokes or estimator is None:
+        # No stage B to overlap with: the batched single-stage path is the
+        # same program.
+        return run_batched(imgs, binarizer, None, output_folder,
+                           strokes=False, svg=svg)
+    from stroke_derenderer_tpu.parallel import TwoStagePipeline
+    pipe = TwoStagePipeline(binarizer, estimator)
+    t0 = time.time()
+    masks, all_strokes = pipe.process_batched([img for img, _ in imgs],
+                                              chunk_size=chunk_size)
+    t_img = round((time.time() - t0) / len(imgs), 4)
+    for (img, filename), mask, stroke_list in zip(imgs, masks, all_strokes):
+        bin_path = str(out_dir / f"{filename}_BINARIZED.png")
+        save_image(minmax_normalize_np(mask.astype(np.uint8)), bin_path,
+                   grayscale=True)
+        print(f"{filename} took {t_img} seconds e2e (two-stage amortized). "
+              f"Result is saved to {bin_path}")
+        ratio = img.shape[0] / mask.shape[0]
+        st_path = str(out_dir / f"{filename}_STROKES.json")
+        save_json(strokes_to_json(stroke_list, scale=ratio), st_path)
+        print(f"{filename} strokes saved to {st_path}")
+        if svg:
+            from stroke_derenderer_tpu.io import save_svg
+            save_svg(stroke_list, out_dir / f"{filename}_STROKES.svg",
+                     size=(img.shape[1], img.shape[0]), scale=ratio)
+    return len(imgs)
+
+
 def load_images(img_filepaths):
     """(paths) -> [(image, stem), ...] (reference main.py:67-78).
     Unreadable files are skipped with a log line instead of aborting."""
@@ -273,9 +319,14 @@ def entrypoint(argv=None):
     binarizer, estimator = initialize_sessions(args.models, fused=args.fused,
                                                se_overrides=se_overrides,
                                                mesh=mesh)
-    runner = run_batched if args.batch else run
-    runner(imgs, binarizer, estimator, args.output,
-           strokes=not args.no_strokes, svg=args.svg)
+    if args.two_stage:
+        run_two_stage(imgs, binarizer, estimator, args.output,
+                      chunk_size=args.two_stage,
+                      strokes=not args.no_strokes, svg=args.svg)
+    else:
+        runner = run_batched if args.batch else run
+        runner(imgs, binarizer, estimator, args.output,
+               strokes=not args.no_strokes, svg=args.svg)
     return 0
 
 

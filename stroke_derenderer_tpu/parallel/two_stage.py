@@ -53,29 +53,53 @@ class TwoStagePipeline:
         strokes: list = [None] * len(images)
         q: "queue.Queue" = queue.Queue(maxsize=2)
         errors: list = []
+        stop = threading.Event()
+
+        def _put(item) -> bool:
+            # Blocking put that aborts if the consumer stopped (exception):
+            # never leaves the producer wedged on a full queue, and never
+            # drops the end-of-stream sentinel while the consumer lives.
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def stage_a():
             try:
                 for i, img in enumerate(images):
+                    if stop.is_set():
+                        return
                     out = self.binarizer.binarize_image(np.asarray(img))
                     mask = out[:, :, 0] > (255 * self.binarizer.config.bin_thr)
                     masks[i] = mask
-                    q.put((i, mask))
+                    if not _put((i, mask)):
+                        return
             except Exception as exc:  # propagate to the consumer
                 errors.append(exc)
             finally:
-                q.put(None)
+                _put(None)
 
         t = threading.Thread(target=stage_a, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is None:
-                break
-            i, mask = item
-            strokes[i] = self.estimator.process_image(mask,
-                                                      max_length=max_length)
-        t.join()
+        try:
+            while True:
+                item = q.get()
+                if item is None:
+                    break
+                i, mask = item
+                strokes[i] = self.estimator.process_image(
+                    mask, max_length=max_length)
+        finally:
+            stop.set()
+            while True:  # unblock a producer mid-put
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
+            t.join()
         if errors:
             raise errors[0]
         return masks, strokes
@@ -134,10 +158,14 @@ class TwoStagePipeline:
             except Exception as exc:
                 errors.append(exc)
             finally:
-                try:
-                    q.put_nowait(None)
-                except queue.Full:
-                    pass  # consumer already stopped and stopped draining
+                # The end-of-stream sentinel must be DELIVERED, not merely
+                # attempted: put_nowait here deadlocks the consumer whenever
+                # the queue still holds the final chunk (maxsize=1) — the
+                # sentinel is dropped and the consumer's next get() blocks
+                # forever. _put blocks until the consumer drains the queue
+                # and still exits promptly if the consumer stopped (stop
+                # event set + queue drained by the consumer's finally).
+                _put(None)
 
         t = threading.Thread(target=stage_a, daemon=True)
         t.start()

@@ -103,3 +103,22 @@ def test_config_precedence(tmp_path):
     assert cfg.overlap == 32        # json wins
     assert cfg.bin_thr == 0.7       # kwarg beats default
     assert cfg.height == 128        # default survives
+
+
+def test_cli_two_stage(model_dir, input_dir, tmp_path, capsys):
+    """--two-stage: pipeline-parallel overlap, same outputs as per-image."""
+    seq = tmp_path / "seq"
+    two = tmp_path / "two"
+    assert entrypoint(["-models", str(model_dir), "-input", str(input_dir),
+                       "--output", str(seq)]) == 0
+    assert entrypoint(["-models", str(model_dir), "-input", str(input_dir),
+                       "--output", str(two), "--two-stage", "1"]) == 0
+    _check_outputs(two, ["a", "b"])
+    for n in ("a", "b"):
+        a = np.asarray(Image.open(seq / f"{n}_BINARIZED.png"))
+        b = np.asarray(Image.open(two / f"{n}_BINARIZED.png"))
+        assert np.array_equal(a, b)
+        sa = json.loads((seq / f"{n}_STROKES.json").read_text())
+        sb = json.loads((two / f"{n}_STROKES.json").read_text())
+        assert sa == sb
+    assert "two-stage amortized" in capsys.readouterr().out

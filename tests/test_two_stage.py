@@ -92,3 +92,75 @@ def test_batched_consumer_exception_stops_producer():
         raise AssertionError("consumer exception was swallowed")
     # The producer was joined in the finally block: no leaked thread.
     assert threading.active_count() <= before
+
+
+def test_batched_sentinel_survives_lagging_consumer():
+    """End-of-stream sentinel delivery when the producer finishes while the
+    queue still holds the final chunk (maxsize=1): a put_nowait sentinel is
+    silently dropped there and the consumer deadlocks on its next get().
+    Deterministic on any box: the consumer sleeps, so the producer always
+    finishes first with the queue full."""
+    import threading
+    import time
+
+    bin_cfg = BinarizerConfig(features=(8, 16), bottleneck=32,
+                              compute_dtype="float32")
+    se_cfg = StrokesConfig(encoder_arch="tiny", embed_dim=16,
+                           attention_dim=16, decoder_dim=16, max_length=8,
+                           compute_dtype="float32")
+    pipe = TwoStagePipeline(Binarizer(bin_cfg, seed=0),
+                            StrokeEstimator(se_cfg, seed=0))
+    imgs = _imgs(3)
+    orig = pipe.estimator.process_images
+
+    def slow(masks, max_length=None):
+        time.sleep(0.4)
+        return orig(masks, max_length=max_length)
+
+    pipe.estimator.process_images = slow
+    # Warm both stages' compiles so the sleep dominates the timings.
+    pipe.process_batched(imgs[:1], chunk_size=1, max_length=8)
+
+    result = {}
+
+    def run():
+        result["r"] = pipe.process_batched(imgs, chunk_size=1, max_length=8)
+
+    th = threading.Thread(target=run, daemon=True)
+    th.start()
+    th.join(timeout=300)
+    assert not th.is_alive(), \
+        "process_batched deadlocked: end-of-stream sentinel was dropped"
+    masks, strokes = result["r"]
+    assert all(m is not None for m in masks)
+    assert all(s is not None for s in strokes)
+
+
+def test_unbatched_consumer_exception_stops_producer():
+    """Same contract for process(): consumer exception propagates, the
+    producer thread is joined, no deadlock on the sentinel."""
+    import threading
+
+    bin_cfg = BinarizerConfig(features=(8, 16), bottleneck=32,
+                              compute_dtype="float32")
+    se_cfg = StrokesConfig(encoder_arch="tiny", embed_dim=16,
+                           attention_dim=16, decoder_dim=16, max_length=8,
+                           compute_dtype="float32")
+    pipe = TwoStagePipeline(Binarizer(bin_cfg, seed=0),
+                            StrokeEstimator(se_cfg, seed=0))
+
+    class Boom(RuntimeError):
+        pass
+
+    def explode(*a, **k):
+        raise Boom("stage B down")
+
+    pipe.estimator.process_image = explode
+    before = threading.active_count()
+    try:
+        pipe.process(_imgs(2) * 3)
+    except Boom:
+        pass
+    else:
+        raise AssertionError("consumer exception was swallowed")
+    assert threading.active_count() <= before
