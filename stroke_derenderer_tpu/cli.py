@@ -39,6 +39,11 @@ def parse_args(argv=None):
                         help="Binarize only.")
     parser.add_argument("--init-models", default=None, metavar="DIR",
                         help="Write a randomly-initialized model dir and exit.")
+    parser.add_argument("--export-onnx", default=None, metavar="DIR",
+                        help="Export -models (a native msgpack model dir) "
+                             "as the reference's five-ONNX-graph artifact "
+                             "layout into DIR and exit "
+                             "(weights/graph_export.py).")
     parser.add_argument("--fused", action="store_true",
                         help="Fully fused per-width binarize programs.")
     parser.add_argument("--batch", action="store_true",
@@ -290,6 +295,17 @@ def entrypoint(argv=None):
         from stroke_derenderer_tpu.weights import materialize_model_dir
         materialize_model_dir(args.init_models)
         print(f"initialized model dir at {args.init_models}")
+        return 0
+    if args.export_onnx:
+        if not args.models:
+            print("[error] --export-onnx requires -models <native dir>")
+            return 2
+        from stroke_derenderer_tpu.weights.graph_export import (
+            export_reference_models,
+        )
+        export_reference_models(args.models, args.export_onnx)
+        print(f"exported reference-layout ONNX model dir to "
+              f"{args.export_onnx}")
         return 0
 
     img_filepaths = sorted(Path(args.input).glob("*.png"))

@@ -92,6 +92,13 @@ def extract_param_ops(graph: OnnxGraph) -> list[ParamOp]:
                                var=var,
                                eps=float(node.attrs.get("epsilon", 1e-5))))
             produced[node.outputs[0]] = len(ops) - 1
+        elif t == "GroupNormalization":
+            # Per-channel scale/bias (opset-21 semantics; graph_export.py
+            # emits these for norm="group" models).
+            s, beta = inits[node.inputs[1]], inits[node.inputs[2]]
+            ops.append(ParamOp("gn", node, scale=s, bias=beta,
+                               eps=float(node.attrs.get("epsilon", 1e-5))))
+            produced[node.outputs[0]] = len(ops) - 1
         elif t == "Gemm":
             w = inits[node.inputs[1]]
             if not int(node.attrs.get("transB", 0)):
@@ -244,6 +251,19 @@ class _Walker:
         _set(self.stats, path, "mean", op.tensors["mean"])
         _set(self.stats, path, "var", op.tensors["var"])
 
+    def norm(self, path_prefix: tuple[str, ...], idx: int) -> str:
+        """Consume either norm kind into its flax auto-name slot
+        (GroupNorm_{idx} params-only, or BatchNorm_{idx} + batch_stats).
+        Returns the norm kind consumed ("group" | "batch")."""
+        if self._peek_is("gn"):
+            op = self._next(("gn",))
+            path = path_prefix + (f"GroupNorm_{idx}",)
+            _set(self.params, path, "scale", op.tensors["scale"])
+            _set(self.params, path, "bias", op.tensors["bias"])
+            return "group"
+        self.bn(path_prefix + (f"BatchNorm_{idx}",))
+        return "batch"
+
     def linear(self, path: tuple[str, ...], shape_out_in: tuple[int, int]):
         op = self._next(("linear",))
         w = op.tensors["weight"]
@@ -310,12 +330,16 @@ def map_binarizer_graph(path: str | Path, config=None):
     graph = read_onnx_graph(path)
     ops = extract_param_ops(graph)
     features, bottleneck = infer_unet_dims(ops)
+    # Torch exports carry BatchNorm; this framework's own ONNX exports
+    # (weights/graph_export.py) carry GroupNormalization for norm="group".
+    norm = "group" if any(o.kind == "gn" for o in ops) else "batch"
     if config is None or (tuple(config.features) != features
-                          or config.bottleneck != bottleneck):
+                          or config.bottleneck != bottleneck
+                          or config.norm != norm):
         base = config or BinarizerConfig()
         import dataclasses
         config = dataclasses.replace(base, features=features,
-                                     bottleneck=bottleneck, norm="batch")
+                                     bottleneck=bottleneck, norm=norm)
     w = _Walker(ops, "binarizer")
     n = len(features)
 
@@ -323,7 +347,7 @@ def map_binarizer_graph(path: str | Path, config=None):
         blk = (f"ConvBlock_{idx}",)
         for j in range(2):
             w.conv(blk + (f"Conv_{j}",), feats, has_bias=False)
-            w.bn(blk + (f"BatchNorm_{j}",))
+            w.norm(blk, j)
 
     for i, f in enumerate(features):
         conv_block(i, f)
@@ -367,16 +391,17 @@ def infer_resnet_arch(ops: list[ParamOp]) -> str:
 
 
 def map_encoder_graph(path: str | Path, config=None):
-    """encoder.onnx -> (arch name, flax variables)."""
+    """encoder.onnx -> (arch name, norm kind, flax variables)."""
     from stroke_derenderer_tpu.models.encoder import ARCHS
 
     graph = read_onnx_graph(path)
     ops = extract_param_ops(graph)
     arch = infer_resnet_arch(ops)
+    norm = "group" if any(o.kind == "gn" for o in ops) else "batch"
     kind, stages, stem, _ = ARCHS[arch]
     w = _Walker(ops, "encoder")
     w.conv(("stem",), stem, has_bias=False)
-    w.bn(("BatchNorm_0",))
+    w.norm((), 0)
     block_name = "BasicBlock" if kind == "basic" else "BottleneckBlock"
     idx = 0
     for i, n_blocks in enumerate(stages):
@@ -389,12 +414,12 @@ def map_encoder_graph(path: str | Path, config=None):
                     else [feats, feats, feats * 4])
             for j in range(n_convs):
                 w.conv(blk + (f"Conv_{j}",), outs[j], has_bias=False)
-                w.bn(blk + (f"BatchNorm_{j}",))
+                w.norm(blk, j)
             has_proj = (b == 0) and (i > 0 or kind == "bottleneck")
             if has_proj:
                 w.conv(blk + ("proj",), outs[-1], has_bias=False)
-                w.bn(blk + (f"BatchNorm_{n_convs}",))
-    return arch, w.finish()
+                w.norm(blk, n_convs)
+    return arch, norm, w.finish()
 
 
 # ------------------------------ decoder ------------------------------
@@ -493,7 +518,7 @@ def import_reference_models(onnx_dir: str | Path,
     bin_cfg, bin_vars = map_binarizer_graph(onnx_dir / "binarizer.onnx",
                                             bin_cfg)
 
-    arch, enc_vars = map_encoder_graph(onnx_dir / "encoder.onnx")
+    arch, enc_norm, enc_vars = map_encoder_graph(onnx_dir / "encoder.onnx")
     proj_path = (onnx_dir / "projection.onnx"
                  if (onnx_dir / "projection.onnx").exists() else None)
     dims, dec_vars, proj_vars = map_decoder_graphs(
@@ -505,7 +530,7 @@ def import_reference_models(onnx_dir: str | Path,
         onnx_dir / "configs_strokes.json"
         if (onnx_dir / "configs_strokes.json").exists() else None)
     se_cfg = dataclasses.replace(
-        se_cfg, encoder_arch=arch, encoder_norm="batch",
+        se_cfg, encoder_arch=arch, encoder_norm=enc_norm,
         embed_dim=dims["embed_dim"], attention_dim=dims["attention_dim"],
         decoder_dim=dims["decoder_dim"],
         projection_dim=dims.get("projection_dim", 0))

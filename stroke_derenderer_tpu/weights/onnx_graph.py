@@ -225,7 +225,12 @@ def _node_proto(node: OnnxNode) -> bytes:
 
 
 def _value_info(name: str, shape, elem_type: int = 1) -> bytes:
-    dims = b"".join(_ld(1, _vint(1, int(d))) for d in shape)
+    dims = b""
+    for d in shape:
+        if isinstance(d, str):  # symbolic dim (dim_param), e.g. batch "B"
+            dims += _ld(1, _ld(2, d.encode("utf-8")))
+        else:
+            dims += _ld(1, _vint(1, int(d)))
     tensor_type = _vint(1, elem_type) + _ld(2, dims)
     return _ld(1, name.encode("utf-8")) + _ld(2, _ld(1, tensor_type))
 
@@ -278,5 +283,5 @@ class OnnxGraphBuilder:
         model += _ld(8, _vint(2, opset))  # OperatorSetIdProto.version
         return model
 
-    def save(self, path: str | Path) -> None:
-        Path(path).write_bytes(self.to_bytes())
+    def save(self, path: str | Path, opset: int = 17) -> None:
+        Path(path).write_bytes(self.to_bytes(opset=opset))

@@ -397,8 +397,8 @@ def test_encoder_graph_parity(tmp_path):
     with torch.no_grad():
         oracle = twin(x).numpy()
 
-    arch, variables = map_encoder_graph(path)
-    assert arch == "tiny"
+    arch, norm, variables = map_encoder_graph(path)
+    assert arch == "tiny" and norm == "batch"
     enc = ResNetEncoder(arch=arch, dtype=jnp.float32, norm="batch")
     got = enc.apply(jax.tree_util.tree_map(jnp.asarray, variables),
                     jnp.asarray(x.numpy().transpose(0, 2, 3, 1)))
