@@ -44,7 +44,12 @@ def _mesh_tools(mesh):
     and optimizer state take the tensor-parallel layout
     (parallel.shard_params — opt-state moment trees share the param path
     suffixes so the same specs apply), batches shard on 'dp', and the step
-    jits with donated state (train/steps.make_sharded_train_step)."""
+    jits with donated state (train/steps.make_sharded_train_step).
+
+    Under a multi-process group (--distributed), every process feeds only
+    its LOCAL batch rows and the global batch is assembled device-side
+    (parallel.multihost.shard_host_batch) — no host ever holds the global
+    batch."""
     from stroke_derenderer_tpu.parallel import batch_sharding, shard_params
     from stroke_derenderer_tpu.train.steps import make_sharded_train_step
 
@@ -52,6 +57,17 @@ def _mesh_tools(mesh):
         return (lambda t: t,
                 lambda b: b,
                 lambda f: jax.jit(f, donate_argnums=(0, 1)))
+    if jax.process_count() > 1:
+        from jax.sharding import PartitionSpec as P
+
+        from stroke_derenderer_tpu.parallel.multihost import shard_host_batch
+
+        def put_local(b):
+            spec = P("dp", *([None] * (np.ndim(b) - 1)))
+            return shard_host_batch(mesh, np.asarray(b), spec)
+
+        return (lambda t: shard_params(t, mesh), put_local,
+                lambda f: make_sharded_train_step(f, mesh))
     return (lambda t: shard_params(t, mesh),
             lambda b: jax.device_put(b, batch_sharding(mesh, np.ndim(b))),
             lambda f: make_sharded_train_step(f, mesh))
@@ -92,10 +108,13 @@ def train_binarizer(config: BinarizerConfig, steps: int, batch_size: int,
             log.info("binarizer step %d loss %.4f (%.2f steps/s)",
                      i + 1, float(loss), log_every / max(time.time() - t0, 1e-9))
             t0 = time.time()
-        if (i + 1) % ckpt_every == 0 or i + 1 == steps:
+        if ((i + 1) % ckpt_every == 0 or i + 1 == steps) \
+                and jax.process_index() == 0:
             save_checkpoint(ckpt_dir, i + 1, params, opt_state)
     data.close()
 
+    if jax.process_count() > 1 and jax.process_index() != 0:
+        return params  # one writer per fleet (shared-fs safe)
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     save_variables({"params": params}, out / "binarizer.msgpack")
@@ -175,10 +194,13 @@ def train_captioner(config: StrokesConfig, steps: int, batch_size: int,
             log.info("captioner step %d loss %.4f (%.2f steps/s)",
                      i + 1, float(loss), log_every / max(time.time() - t0, 1e-9))
             t0 = time.time()
-        if (i + 1) % ckpt_every == 0 or i + 1 == steps:
+        if ((i + 1) % ckpt_every == 0 or i + 1 == steps) \
+                and jax.process_index() == 0:
             save_checkpoint(ckpt_dir, i + 1, params, opt_state)
     data.close()
 
+    if jax.process_count() > 1 and jax.process_index() != 0:
+        return params  # one writer per fleet (shared-fs safe)
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
     save_variables({"params": params["encoder"]}, out / "strokes_encoder.msgpack")
@@ -226,6 +248,15 @@ def main(argv=None):
                          "(parallel/mesh.py). 0/1 = single device.")
     ap.add_argument("--tp", type=int, default=1,
                     help="tensor-parallel extent within --mesh (default 1)")
+    ap.add_argument("--distributed", action="store_true",
+                    help="multi-host training: join the process group "
+                         "(parallel.multihost.initialize — TPU-pod "
+                         "auto-discovery or SD_COORDINATOR/"
+                         "SD_NUM_PROCESSES/SD_PROCESS_ID env), build the "
+                         "global ('dp','tp') mesh over every host's "
+                         "devices, and feed per-host batch shards. "
+                         "--batch is the PER-HOST batch size; each host "
+                         "draws a distinct data stream.")
     args = ap.parse_args(argv)
 
     bin_kw = {}
@@ -235,7 +266,18 @@ def main(argv=None):
     se_kw = {"encoder_arch": args.encoder_arch} if args.encoder_arch else {}
 
     mesh = None
-    if args.mesh and args.mesh > 1:
+    seed = args.seed
+    if args.distributed:
+        from stroke_derenderer_tpu.parallel.multihost import (
+            fold_in_process, global_mesh, initialize,
+        )
+        initialize()
+        mesh = global_mesh(tp=args.tp)
+        seed = fold_in_process(args.seed)  # distinct data stream per host
+        log.info("distributed: process %d/%d, global (%d, %d) dp/tp mesh",
+                 jax.process_index(), jax.process_count(),
+                 mesh.shape["dp"], mesh.shape["tp"])
+    elif args.mesh and args.mesh > 1:
         from stroke_derenderer_tpu.parallel import make_mesh
         mesh = make_mesh(args.mesh, tp=args.tp)
         log.info("training on a (%d, %d) dp/tp mesh",
@@ -243,10 +285,10 @@ def main(argv=None):
 
     if args.model in ("binarizer", "both"):
         train_binarizer(BinarizerConfig(**bin_kw), args.steps, args.batch,
-                        args.out, args.lr, args.seed, mesh=mesh)
+                        args.out, args.lr, seed, mesh=mesh)
     if args.model in ("captioner", "both"):
         train_captioner(StrokesConfig(**se_kw), args.steps, args.batch,
-                        args.out, args.lr, args.seed, seq_len=args.seq_len,
+                        args.out, args.lr, seed, seq_len=args.seq_len,
                         init_from=args.init_from,
                         coord_sigma=args.coord_smoothing,
                         sample_prob=args.scheduled_sampling,

@@ -34,9 +34,13 @@ from stroke_derenderer_tpu.models import AttentionUNet, AttentiveDecoder, ResNet
 def _init_on_cpu(init_fn, *args):
     """Run a flax .init on the host CPU backend: random init is tiny
     compute, but compiling init graphs on a (possibly tunneled) TPU costs
-    minutes per model. Params move to the accelerator lazily at first use."""
+    minutes per model. Params move to the accelerator lazily at first use.
+
+    Must pick a LOCAL device: in a multi-process group jax.devices() leads
+    with process 0's devices, and eagerly computing onto another process's
+    (non-addressable) device crashes the runtime."""
     try:
-        cpu = jax.devices("cpu")[0]
+        cpu = jax.local_devices(backend="cpu")[0]
     except RuntimeError:
         return init_fn(*args)
     with jax.default_device(cpu):
