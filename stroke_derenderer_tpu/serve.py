@@ -11,6 +11,9 @@ Endpoints (PNG body in, JSON out):
                      (?svg=1 adds "svg": an SVG document of the strokes
                       in original-image coordinates, io/svg.py)
   GET  /healthz   -> {"ok": true}
+  GET  /metrics   -> serving counters (requests/errors by endpoint, batch
+                     size histogram, per-stage latency quantiles, uptime)
+                     as JSON, or Prometheus text with ?format=prom
 
 Requests are funneled through a micro-batching queue: concurrent requests
 arriving within ``--batch-window-ms`` are executed as ONE device batch
@@ -38,6 +41,73 @@ from stroke_derenderer_tpu.utils import get_logger
 log = get_logger("serve")
 
 
+class Metrics:
+    """Lock-guarded serving counters (SURVEY.md §5 observability row)."""
+
+    def __init__(self):
+        self._lock = threading.Lock()
+        self.t_start = time.time()
+        self.requests: dict[str, int] = {}
+        self.errors: dict[str, int] = {}
+        self.batches = 0
+        self.batch_hist: dict[int, int] = {}   # batch size -> count
+        self.lat: dict[str, list[float]] = {"binarize": [], "strokes": []}
+
+    def count(self, endpoint: str, error: bool = False):
+        with self._lock:
+            self.requests[endpoint] = self.requests.get(endpoint, 0) + 1
+            if error:
+                self.errors[endpoint] = self.errors.get(endpoint, 0) + 1
+
+    def batch(self, n: int, t_bin: float, t_se: float | None):
+        with self._lock:
+            self.batches += 1
+            self.batch_hist[n] = self.batch_hist.get(n, 0) + 1
+            self.lat["binarize"].append(t_bin)
+            if t_se is not None:
+                self.lat["strokes"].append(t_se)
+            for k in self.lat:  # bounded memory: keep the last 1024
+                if len(self.lat[k]) > 1024:
+                    del self.lat[k][:-1024]
+
+    def snapshot(self) -> dict:
+        def q(xs, p):
+            return round(float(np.quantile(xs, p)), 4) if xs else None
+
+        with self._lock:
+            return {
+                "uptime_s": round(time.time() - self.t_start, 1),
+                "requests": dict(self.requests),
+                "errors": dict(self.errors),
+                "batches": self.batches,
+                "batch_size_hist": {str(k): v
+                                    for k, v in sorted(self.batch_hist.items())},
+                "latency_s": {
+                    stage: {"p50": q(xs, 0.5), "p90": q(xs, 0.9),
+                            "p99": q(xs, 0.99), "n": len(xs)}
+                    for stage, xs in self.lat.items()
+                },
+            }
+
+    def prometheus(self) -> str:
+        s = self.snapshot()
+        lines = [f"sd_uptime_seconds {s['uptime_s']}",
+                 f"sd_batches_total {s['batches']}"]
+        for ep, n in s["requests"].items():
+            lines.append(f'sd_requests_total{{endpoint="{ep}"}} {n}')
+        for ep, n in s["errors"].items():
+            lines.append(f'sd_errors_total{{endpoint="{ep}"}} {n}')
+        for size, n in s["batch_size_hist"].items():
+            lines.append(f'sd_batch_size_total{{size="{size}"}} {n}')
+        for stage, qs in s["latency_s"].items():
+            for p in ("p50", "p90", "p99"):
+                if qs[p] is not None:
+                    lines.append(
+                        f'sd_stage_latency_seconds{{stage="{stage}",'
+                        f'quantile="{p}"}} {qs[p]}')
+        return "\n".join(lines) + "\n"
+
+
 class _Job:
     def __init__(self, img: np.ndarray, want_strokes: bool,
                  want_svg: bool = False):
@@ -53,12 +123,13 @@ class BatchWorker(threading.Thread):
     """Collects jobs for up to ``window_s`` then runs them as one batch."""
 
     def __init__(self, binarizer, estimator, window_s: float = 0.01,
-                 max_batch: int = 64):
+                 max_batch: int = 64, metrics: "Metrics | None" = None):
         super().__init__(daemon=True)
         self.binarizer = binarizer
         self.estimator = estimator
         self.window_s = window_s
         self.max_batch = max_batch
+        self.metrics = metrics or Metrics()
         self.q: "queue.Queue[_Job]" = queue.Queue()
 
     def submit(self, job: _Job):
@@ -96,6 +167,8 @@ class BatchWorker(threading.Thread):
                 t_se = time.time() - t0
                 for (i, _), s in zip(stroke_jobs, lists):
                     stroke_results[i] = s
+            self.metrics.batch(len(jobs), t_bin,
+                               t_se if stroke_jobs else None)
             for i, (job, mask) in enumerate(zip(jobs, masks)):
                 out = {
                     "height": int(job.img.shape[0]),
@@ -149,8 +222,20 @@ def make_handler(worker: BatchWorker, timeout_s: float = 120.0):
             self.wfile.write(body)
 
         def do_GET(self):
-            if self.path == "/healthz":
+            path, _, query = self.path.partition("?")
+            if path == "/healthz":
                 self._reply(200, {"ok": True})
+            elif path == "/metrics":
+                if "format=prom" in query.split("&"):
+                    body = worker.metrics.prometheus().encode()
+                    self.send_response(200)
+                    self.send_header("Content-Type",
+                                     "text/plain; version=0.0.4")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                else:
+                    self._reply(200, worker.metrics.snapshot())
             else:
                 self._reply(404, {"error": "unknown path"})
 
@@ -169,11 +254,14 @@ def make_handler(worker: BatchWorker, timeout_s: float = 120.0):
                        want_svg="svg=1" in query.split("&"))
             worker.submit(job)
             if not job.done.wait(timeout_s):
+                worker.metrics.count(path, error=True)
                 self._reply(504, {"error": "timeout"})
                 return
             if job.error:
+                worker.metrics.count(path, error=True)
                 self._reply(500, {"error": job.error})
             else:
+                worker.metrics.count(path)
                 self._reply(200, job.result)
 
     return Handler

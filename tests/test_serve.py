@@ -102,3 +102,23 @@ def test_bad_image_is_400(server):
     status, out = _post(server + "/binarize", b"garbage not a png")
     assert status == 400
     assert "error" in out
+
+
+def test_metrics_endpoint(server):
+    # Generate some traffic first so counters are non-trivial.
+    _post(server + "/binarize", _png_bytes())
+    with urllib.request.urlopen(server + "/metrics", timeout=30) as r:
+        m = json.loads(r.read())
+    assert m["requests"].get("/binarize", 0) >= 1
+    assert m["batches"] >= 1
+    assert m["uptime_s"] > 0
+    lat = m["latency_s"]["binarize"]
+    assert lat["n"] >= 1 and lat["p50"] is not None
+    assert sum(m["batch_size_hist"].values()) == m["batches"]
+
+    with urllib.request.urlopen(server + "/metrics?format=prom",
+                                timeout=30) as r:
+        assert r.headers["Content-Type"].startswith("text/plain")
+        text = r.read().decode()
+    assert 'sd_requests_total{endpoint="/binarize"}' in text
+    assert "sd_uptime_seconds" in text
