@@ -34,10 +34,12 @@ import numpy as np
 # Measured on this host via `python bench.py --measure-cpu` (same models,
 # same workload, same n_images=8, jax CPU backend). Refresh after
 # model-architecture changes.
-CPU_BASELINE_IPS = 0.5772  # images/sec (2026-08-18, jax 0.9.0 CPU,
-# models_demo v8 weights/configs, auto-fused batched binarize, n_images=8 —
-# the shipped artifact, code path, AND batch geometry on both sides
-# (ADVICE r1: same cross-image amortization in numerator and denominator))
+CPU_BASELINE_IPS = 0.628  # images/sec (2026-08-18, jax 0.9.0 CPU,
+# models_demo v8 weights/configs, auto-fused batched binarize, n_images=8,
+# best of sequential/pipelined stage policy — the shipped artifact, code
+# path, batch geometry, AND execution policy on both sides (ADVICE r1:
+# same cross-image amortization in numerator and denominator; sequential
+# alone measured 0.5772)
 
 N_IMAGES = 8
 DECODE_STEPS = 384
@@ -107,6 +109,27 @@ def measure(platform: str | None = None, n_images: int = N_IMAGES,
         binarizer.binarize_images(imgs)
         estimator.process_images(clean_masks, max_length=DECODE_STEPS)
         best = min(best, (time.time() - t0) / len(imgs))
+
+    # Pipelined steady-state throughput: the framework ships two-stage
+    # overlap (parallel/two_stage.py, CLI --two-stage, serve.py under
+    # load), where stage A's transfers/compute for batch k+1 overlap
+    # stage B's for batch k and throughput approaches the slower stage
+    # instead of the sum. Measure the same work with both stages in
+    # flight concurrently; report whichever policy is faster (identical
+    # outputs either way). The CPU denominator is measured with the SAME
+    # policy so the ratio stays apples-to-apples.
+    import threading
+
+    best_pipe = float("inf")
+    for _ in range(repeats):
+        t0 = time.time()
+        ta = threading.Thread(
+            target=lambda: binarizer.binarize_images(imgs))
+        ta.start()
+        estimator.process_images(clean_masks, max_length=DECODE_STEPS)
+        ta.join()
+        best_pipe = min(best_pipe, (time.time() - t0) / len(imgs))
+    best_seq, best = best, min(best, best_pipe)
     if not stages:
         return 1.0 / best
 
@@ -119,7 +142,8 @@ def measure(platform: str | None = None, n_images: int = N_IMAGES,
         t0 = time.time()
         estimator.process_images(clean_masks, max_length=DECODE_STEPS)
         best_se = min(best_se, (time.time() - t0) / len(imgs))
-    return 1.0 / best, 1.0 / best_bin, 1.0 / best_se
+    return (1.0 / best, 1.0 / best_bin, 1.0 / best_se,
+            1.0 / best_seq, 1.0 / best_pipe)
 
 
 def _mfu_stats(ips: float, bin_ips: float, se_ips: float,
@@ -145,8 +169,11 @@ def _mfu_stats(ips: float, bin_ips: float, se_ips: float,
 def run_worker() -> None:
     """Full accelerator measurement, in-process. Invoked as a subprocess so
     a wedged tunnel can be timed out and retried by the parent."""
-    ips, bin_ips, se_ips = measure(stages=True)  # default platform: real TPU
+    # default platform: real TPU
+    ips, bin_ips, se_ips, seq_ips, pipe_ips = measure(stages=True)
     stages = {"e2e_ips": round(ips, 4),
+              "e2e_sequential_ips": round(seq_ips, 4),
+              "e2e_pipelined_ips": round(pipe_ips, 4),
               "binarize_only_ips": round(bin_ips, 4),
               "strokes_only_ips": round(se_ips, 4),
               "n_images": N_IMAGES,
