@@ -7,6 +7,13 @@ jax.profiler into artifacts/trace_e2e/. Load with TensorBoard's 'profile'
 plugin. Run from /root/repo with the TPU free.
 """
 
+import sys
+from pathlib import Path
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from stroke_derenderer_tpu.utils import honor_platform_env  # noqa: E402
+honor_platform_env()
+
 import os
 import sys
 

@@ -2,6 +2,13 @@
 (CC + grouping + interpolation rows), the device estimate program
 (partition-materialize + encoder + fused decode), and host token
 post-processing. Run from /root/repo with the TPU free."""
+
+import sys
+from pathlib import Path
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from stroke_derenderer_tpu.utils import honor_platform_env  # noqa: E402
+honor_platform_env()
 import time
 
 import numpy as np

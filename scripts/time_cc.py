@@ -18,6 +18,13 @@ mask upload + label download it would add.
 
 from __future__ import annotations
 
+import sys
+from pathlib import Path
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from stroke_derenderer_tpu.utils import honor_platform_env  # noqa: E402
+honor_platform_env()
+
 import argparse
 import time
 

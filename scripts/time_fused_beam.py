@@ -1,6 +1,13 @@
 """Time XLA beam_decode vs the fused Pallas beam kernel on the real TPU at
 production shapes, with the shipped models_demo decoder weights; prints the
 best-beam token match per config. Run from /root/repo with the TPU free."""
+
+import sys
+from pathlib import Path
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from stroke_derenderer_tpu.utils import honor_platform_env  # noqa: E402
+honor_platform_env()
 import time
 
 import jax

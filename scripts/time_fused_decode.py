@@ -1,5 +1,12 @@
 """Time XLA greedy_decode vs the fused Pallas decode kernel on the real TPU
 at production shapes. Run from /root/repo with the TPU free."""
+
+import sys
+from pathlib import Path
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from stroke_derenderer_tpu.utils import honor_platform_env  # noqa: E402
+honor_platform_env()
 import time
 import numpy as np
 import jax
