@@ -281,7 +281,10 @@ def main():
 
     # Accelerator unreachable after the full probe+retry budget (tunnel
     # outage): report the CPU pipeline honestly instead of never printing.
-    ips = measure("cpu", n_images=2, repeats=1)
+    # Same n_images as the pinned denominator — a smaller batch loses
+    # cross-image amortization and would understate even the CPU number
+    # (n=2 measures ~0.42x the n=8 ratio on this host).
+    ips = measure("cpu", n_images=N_IMAGES, repeats=1)
     print(json.dumps({
         "metric": "e2e line images/sec (CPU FALLBACK - accelerator "
                   "unreachable; see BENCH_STAGES.json absence)",
