@@ -123,11 +123,20 @@ def measure(platform: str | None = None, n_images: int = N_IMAGES,
     best_pipe = float("inf")
     for _ in range(repeats):
         t0 = time.time()
-        ta = threading.Thread(
-            target=lambda: binarizer.binarize_images(imgs))
+        errs: list = []
+
+        def _stage_a():
+            try:
+                binarizer.binarize_images(imgs)
+            except Exception as exc:  # must fail the WHOLE measurement:
+                errs.append(exc)      # a timed run missing one stage would
+                                      # silently overstate throughput
+        ta = threading.Thread(target=_stage_a)
         ta.start()
         estimator.process_images(clean_masks, max_length=DECODE_STEPS)
         ta.join()
+        if errs:
+            raise errs[0]
         best_pipe = min(best_pipe, (time.time() - t0) / len(imgs))
     best_seq, best = best, min(best, best_pipe)
     if not stages:

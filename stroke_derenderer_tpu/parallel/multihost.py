@@ -65,7 +65,17 @@ def initialize(coordinator: str | None = None,
             pass
     if local_device_count is not None:
         jax.config.update("jax_num_cpu_devices", local_device_count)
+    if bool(coordinator) != (num_processes is not None):
+        # A half-specified fleet must not silently run as disconnected
+        # single-process jobs (every host would think it is process 0).
+        raise ValueError(
+            "multihost.initialize: coordinator and num_processes must be "
+            f"given together (got coordinator={coordinator!r}, "
+            f"num_processes={num_processes!r})")
     if coordinator and num_processes and num_processes > 1:
+        if process_id is None:
+            raise ValueError("multihost.initialize: process_id is required "
+                             "with an explicit coordinator")
         jax.distributed.initialize(coordinator_address=coordinator,
                                    num_processes=num_processes,
                                    process_id=process_id)
@@ -105,5 +115,10 @@ def shard_host_batch(mesh: Mesh, local_batch: np.ndarray,
 
 
 def fold_in_process(seed: int) -> int:
-    """Distinct per-process data seed (each host loads different rows)."""
-    return seed * jax.process_count() + jax.process_index()
+    """Distinct per-process data seed (each host loads different rows).
+
+    Stride is a large prime, NOT process_count: downstream loaders derive
+    per-worker streams as seed+w (data/loader.PrefetchLoader), so adjacent
+    per-process seeds would make host k's worker 1 duplicate host k+1's
+    worker 0 — silently halving data diversity across the dp axis."""
+    return seed + jax.process_index() * 100_003

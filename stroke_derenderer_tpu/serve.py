@@ -242,12 +242,14 @@ def make_handler(worker: BatchWorker, timeout_s: float = 120.0):
         def do_POST(self):
             path, _, query = self.path.partition("?")
             if path not in ("/binarize", "/derender"):
+                worker.metrics.count(path, error=True)
                 self._reply(404, {"error": "unknown path"})
                 return
             try:
                 n = int(self.headers.get("Content-Length", 0))
                 img = _decode_png(self.rfile.read(n))
             except Exception as exc:  # bad input is a client error
+                worker.metrics.count(path, error=True)
                 self._reply(400, {"error": f"bad image: {exc}"})
                 return
             job = _Job(img, want_strokes=path == "/derender",

@@ -39,6 +39,18 @@ from stroke_derenderer_tpu.weights.store import (
 log = get_logger("train")
 
 
+def _host_copy(tree):
+    """Numpy copy of a (possibly multi-host sharded) train-state tree for
+    serialization. Under a process group, tp-sharded params span other
+    hosts' devices (not fully addressable), so np.asarray on them raises —
+    gather the global content on EVERY process (collective!), then let
+    only process 0 write. Single-process: identity."""
+    if jax.process_count() == 1:
+        return tree
+    from jax.experimental import multihost_utils
+    return multihost_utils.process_allgather(tree, tiled=True)
+
+
 def _mesh_tools(mesh):
     """(shard_state, put_batch, jit_step) for multi-device training: params
     and optimizer state take the tensor-parallel layout
@@ -108,16 +120,18 @@ def train_binarizer(config: BinarizerConfig, steps: int, batch_size: int,
             log.info("binarizer step %d loss %.4f (%.2f steps/s)",
                      i + 1, float(loss), log_every / max(time.time() - t0, 1e-9))
             t0 = time.time()
-        if ((i + 1) % ckpt_every == 0 or i + 1 == steps) \
-                and jax.process_index() == 0:
-            save_checkpoint(ckpt_dir, i + 1, params, opt_state)
+        if (i + 1) % ckpt_every == 0 or i + 1 == steps:
+            hp, ho = _host_copy(params), _host_copy(opt_state)
+            if jax.process_index() == 0:
+                save_checkpoint(ckpt_dir, i + 1, hp, ho)
     data.close()
 
+    params_host = _host_copy(params)
     if jax.process_count() > 1 and jax.process_index() != 0:
         return params  # one writer per fleet (shared-fs safe)
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
-    save_variables({"params": params}, out / "binarizer.msgpack")
+    save_variables({"params": params_host}, out / "binarizer.msgpack")
     import json
     (out / "configs_binarizer.json").write_text(
         json.dumps(config.export_dict(), indent=1))
@@ -194,17 +208,21 @@ def train_captioner(config: StrokesConfig, steps: int, batch_size: int,
             log.info("captioner step %d loss %.4f (%.2f steps/s)",
                      i + 1, float(loss), log_every / max(time.time() - t0, 1e-9))
             t0 = time.time()
-        if ((i + 1) % ckpt_every == 0 or i + 1 == steps) \
-                and jax.process_index() == 0:
-            save_checkpoint(ckpt_dir, i + 1, params, opt_state)
+        if (i + 1) % ckpt_every == 0 or i + 1 == steps:
+            hp, ho = _host_copy(params), _host_copy(opt_state)
+            if jax.process_index() == 0:
+                save_checkpoint(ckpt_dir, i + 1, hp, ho)
     data.close()
 
+    params_host = _host_copy(params)
     if jax.process_count() > 1 and jax.process_index() != 0:
         return params  # one writer per fleet (shared-fs safe)
     out = Path(out_dir)
     out.mkdir(parents=True, exist_ok=True)
-    save_variables({"params": params["encoder"]}, out / "strokes_encoder.msgpack")
-    save_variables({"params": params["decoder"]}, out / "strokes_decoder.msgpack")
+    save_variables({"params": params_host["encoder"]},
+                   out / "strokes_encoder.msgpack")
+    save_variables({"params": params_host["decoder"]},
+                   out / "strokes_decoder.msgpack")
     import json
     (out / "configs_strokes.json").write_text(
         json.dumps(config.export_dict(), indent=1))

@@ -360,11 +360,14 @@ def export_reference_models(models_dir: str | Path,
     _, _, enc_vars, dec_vars, proj_vars = init_strokes_variables(se_cfg, 0)
     enc_vars = load_variables(enc_vars, models / "strokes_encoder.msgpack")
     dec_vars = load_variables(dec_vars, models / "strokes_decoder.msgpack")
-    if proj_vars is not None and (models / "strokes_projection.msgpack").exists():
-        proj_vars = load_variables(proj_vars,
-                                   models / "strokes_projection.msgpack")
-    elif not (models / "strokes_projection.msgpack").exists():
-        proj_vars = None
+    if proj_vars is not None:
+        proj_path = models / "strokes_projection.msgpack"
+        if not proj_path.exists():
+            raise FileNotFoundError(
+                f"configs_strokes.json declares projection_dim="
+                f"{se_cfg.projection_dim} but {proj_path} is missing — "
+                f"refusing to export a self-inconsistent artifact dir")
+        proj_vars = load_variables(proj_vars, proj_path)
     export_encoder_graph(se_cfg, enc_vars, out / "encoder.onnx")
     export_decoder_graphs(se_cfg, dec_vars, out, proj_variables=proj_vars)
 

@@ -96,7 +96,21 @@ def main() -> None:
         [v.reshape(-1) for v in jax.tree_util.tree_leaves(new_l)])))
     assert abs(mean_g - mean_l) < 1e-6, (mean_g, mean_l)
 
-    assert fold_in_process(7) in (14 + rank, 14 + rank)
+    assert fold_in_process(7) == 7 + rank * 100_003
+
+    # The REAL train loop over the process group, including the
+    # checkpoint/export path (host-gather of sharded state + process-0
+    # writer): under tp>=2 the params are tp-sharded AND dp-replicated
+    # across hosts — serializing them without the gather crashes.
+    out_dir = sys.argv[4]
+    from stroke_derenderer_tpu.train.loop import train_binarizer
+    train_binarizer(cfg, steps=2, batch_size=2, out_dir=out_dir,
+                    ckpt_every=1, log_every=1, mesh=mesh)
+    from pathlib import Path as _P
+    if rank == 0:
+        assert (_P(out_dir) / "binarizer.msgpack").exists()
+        assert (_P(out_dir) / "ckpt_binarizer").exists()
+
     print(f"WORKER-OK {rank} dp={mesh.shape['dp']} tp={mesh.shape['tp']} "
           f"loss={float(loss_g):.5f}", flush=True)
 

@@ -24,11 +24,12 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _run_group(tp: int) -> list[str]:
+def _run_group(tp: int, tmp_path) -> list[str]:
     coord = f"localhost:{_free_port()}"
+    out_dir = str(tmp_path / "train_out")
     procs = [
         subprocess.Popen([sys.executable, str(WORKER), str(rank), coord,
-                          str(tp)],
+                          str(tp), out_dir],
                          stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
                          text=True, cwd=str(WORKER.parent.parent))
         for rank in (0, 1)
@@ -48,16 +49,17 @@ def _run_group(tp: int) -> list[str]:
 
 
 @pytest.mark.slow
-def test_two_process_dp4():
-    outs = _run_group(tp=1)
+def test_two_process_dp4(tmp_path):
+    outs = _run_group(tp=1, tmp_path=tmp_path)
     assert "dp=4 tp=1" in outs[0]
 
 
 @pytest.mark.slow
-def test_two_process_dp2_tp2():
+def test_two_process_dp2_tp2(tmp_path):
     """tp stays intra-process (would ride ICI on hardware), dp crosses
-    the process boundary (DCN)."""
-    outs = _run_group(tp=2)
+    the process boundary (DCN); the train loop's checkpoint path must
+    host-gather the tp-sharded state before the process-0 write."""
+    outs = _run_group(tp=2, tmp_path=tmp_path)
     assert "dp=2 tp=2" in outs[0]
 
 
