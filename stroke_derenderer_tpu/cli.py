@@ -56,11 +56,16 @@ def parse_args(argv=None):
     parser.add_argument("--beam-size", type=int, default=None,
                         help="Beam width for --decode beam.")
     parser.add_argument("--redecode", type=float, default=None, metavar="C",
-                        help="Coverage-driven re-decode: when less than "
+                        help="Coverage-driven re-decode: while less than "
                              "fraction C of the ink lies within ~2 px of "
                              "the predicted strokes, the uncovered residual "
-                             "gets one more decode pass (counters early-EOS "
+                             "gets another decode pass (counters early-EOS "
                              "on dense glyphs). E.g. 0.9.")
+    parser.add_argument("--redecode-passes", type=int, default=None,
+                        metavar="K",
+                        help="Max residual passes for --redecode "
+                             "(default 3; each pass stops early once "
+                             "coverage C is met or nothing new decodes).")
     parser.add_argument("--device-partition", action="store_true",
                         help="Materialize glyph crops on device (group-id "
                              "image + MXU resize; ops/device_partition.py; "
@@ -317,6 +322,8 @@ def entrypoint(argv=None):
         se_overrides["beam_size"] = args.beam_size
     if args.redecode is not None:
         se_overrides["redecode_coverage"] = args.redecode
+    if args.redecode_passes is not None:
+        se_overrides["redecode_passes"] = args.redecode_passes
     if args.device_partition:
         se_overrides["device_partition"] = True
     if args.host_partition:

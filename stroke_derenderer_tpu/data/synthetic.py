@@ -151,6 +151,39 @@ def mixed_strokes(rng: np.random.Generator, shape: tuple[int, int],
     return strokes
 
 
+def fragment_strokes(rng: np.random.Generator, strokes,
+                     cut_prob: float = 0.5, max_cuts: int = 2) -> list:
+    """Erase short arcs from strokes, splitting each into visible
+    sub-polylines separated by gaps — the *residual-ink* input class: the
+    iterated re-decode path (pipeline/strokes.py, config.redecode_passes)
+    feeds the model masks of partially-erased strokes, which the base
+    distributions never show it at training time.
+
+    Token-budget safe by construction: every gap drops >= 2 vertices
+    (>= 4 tokens) and adds exactly one BOS separator, so the fragmented
+    sample always fits any budget the original fit."""
+    out = []
+    for x, y in strokes:
+        x = np.asarray(x, np.float64)
+        y = np.asarray(y, np.float64)
+        n = x.size
+        if n < 12 or rng.random() > cut_prob:
+            out.append((x, y))
+            continue
+        keep = np.ones(n, bool)
+        for _ in range(int(rng.integers(1, max_cuts + 1))):
+            gap = int(rng.integers(2, max(3, n // 6) + 1))
+            start = int(rng.integers(1, n - gap))
+            keep[start:start + gap] = False
+        # Split the kept indices into contiguous runs; runs shorter than 4
+        # points decode to noise, drop them.
+        idx = np.flatnonzero(keep)
+        runs = np.split(idx, np.flatnonzero(np.diff(idx) > 1) + 1)
+        pieces = [(x[r], y[r]) for r in runs if r.size >= 4]
+        out.extend(pieces if pieces else [(x, y)])
+    return out if out else strokes
+
+
 def rasterize_strokes(strokes, shape: tuple[int, int],
                       thickness: int = 2) -> np.ndarray:
     """Paint polylines into a (h, w) uint8 {0,1} mask by dense segment
@@ -284,6 +317,12 @@ def make_partitioned_glyph_sample(rng: np.random.Generator,
         if style == "mixed":
             strokes = mixed_strokes(rng, (h - 20, win),
                                     token_budget=max_length - 2)
+            # Residual-ink augmentation (~1 in 4 samples): the re-decode
+            # passes hand the model partially-erased strokes at inference;
+            # show it that class at training time (fragment_strokes is
+            # token-budget-safe, so targets still never truncate).
+            if rng.random() < 0.25:
+                strokes = fragment_strokes(rng, strokes)
         else:
             n = int(rng.integers(1, 7))
             strokes = random_strokes(rng, n, (h - 20, win),

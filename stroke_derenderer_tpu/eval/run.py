@@ -110,6 +110,8 @@ def main(argv=None):
     ap.add_argument("--redecode", type=float, default=None,
                     help="coverage-driven residual re-decode floor "
                          "(config.redecode_coverage), e.g. 0.9")
+    ap.add_argument("--redecode-passes", type=int, default=None,
+                    help="max residual passes (config.redecode_passes)")
     ap.add_argument("--dense", action="store_true",
                     help="harder 40-point-stroke distribution (decode-length "
                          "generalization)")
@@ -126,6 +128,8 @@ def main(argv=None):
         ov["length_penalty"] = args.length_penalty
     if args.redecode is not None:
         ov["redecode_coverage"] = args.redecode
+    if args.redecode_passes is not None:
+        ov["redecode_passes"] = args.redecode_passes
     print(json.dumps(evaluate_full(args.models, args.n, args.seed,
                                    se_overrides=ov or None,
                                    dense=args.dense, style=args.style)))

@@ -403,16 +403,22 @@ class StrokeEstimator:
     def process_image(self, img_bin: np.ndarray, max_length: int | None = None):
         """Binarized image -> ordered strokes in the binarized image's
         coordinate frame (reference evaluate_strokes.py:163-183). With
-        ``config.redecode_coverage`` > 0, uncovered ink gets one residual
-        decode pass and the merged strokes are re-sorted."""
+        ``config.redecode_coverage`` > 0, still-uncovered ink gets up to
+        ``config.redecode_passes`` residual decode passes, each merged and
+        re-sorted, until the coverage floor is met or a pass recovers
+        nothing."""
         strokes = self._process_image_once(img_bin, max_length)
         if self.config.redecode_coverage <= 0:
             return strokes
-        resid = self._residual_for(img_bin, strokes)
-        if resid is None:
-            return strokes
-        extra = self._process_image_once(resid, max_length)
-        return self._merge_redecoded(strokes, extra)
+        for _ in range(max(self.config.redecode_passes, 1)):
+            resid = self._residual_for(img_bin, strokes)
+            if resid is None:
+                break
+            extra = self._process_image_once(resid, max_length)
+            if not extra:  # pass recovered nothing; residual won't shrink
+                break
+            strokes = self._merge_redecoded(strokes, extra)
+        return strokes
 
     def _merge_redecoded(self, strokes, extra):
         """Combine base + residual strokes: stitch fragments whose endpoints
@@ -429,18 +435,24 @@ class StrokeEstimator:
         one encoder + decode program (the reference is strictly per-image).
         Returns one stroke list per input image. Residual re-decode (see
         process_image) batches the flagged images' residual masks through
-        one second pass."""
+        each extra pass together."""
         out = self._process_images_once(imgs_bin, max_length)
         if self.config.redecode_coverage <= 0:
             return out
-        resids = [self._residual_for(m, s) for m, s in zip(imgs_bin, out)]
-        todo = [i for i, r in enumerate(resids) if r is not None]
-        if not todo:
-            return out
-        extras = self._process_images_once([resids[i] for i in todo],
-                                           max_length)
-        for i, extra in zip(todo, extras):
-            out[i] = self._merge_redecoded(out[i], extra)
+        live = list(range(len(out)))  # images still eligible for a pass
+        for _ in range(max(self.config.redecode_passes, 1)):
+            resids = {i: self._residual_for(imgs_bin[i], out[i])
+                      for i in live}
+            todo = [i for i in live if resids[i] is not None]
+            if not todo:
+                break
+            extras = self._process_images_once([resids[i] for i in todo],
+                                               max_length)
+            live = []
+            for i, extra in zip(todo, extras):
+                if extra:  # empty pass: residual won't shrink, retire image
+                    out[i] = self._merge_redecoded(out[i], extra)
+                    live.append(i)
         return out
 
 

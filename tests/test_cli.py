@@ -85,6 +85,7 @@ def test_cli_no_strokes(model_dir, input_dir, tmp_path):
     assert not (tmp_path / "a_STROKES.json").exists()
 
 
+@pytest.mark.slow  # full-size random-init of both models: ~50 s of compile
 def test_cli_init_models(tmp_path):
     rc = entrypoint(["--init-models", str(tmp_path / "m")])
     assert rc == 0

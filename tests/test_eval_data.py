@@ -105,3 +105,67 @@ def test_glyph_sample_normalized(rng):
     crop, toks = make_glyph_sample(rng, 224, 64)
     assert crop.shape == (224, 224, 3) and crop.dtype == np.float32
     assert toks.shape == (64,)
+
+
+def test_fragment_strokes_budget_safe_and_structured():
+    """fragment_strokes (residual-ink augmentation): never increases the
+    token footprint (so budgeted samples still never truncate), produces
+    >= as many strokes, each fragment a contiguous sub-polyline of its
+    source, and is deterministic under a seeded rng."""
+    from stroke_derenderer_tpu.data.synthetic import (
+        fragment_strokes, mixed_strokes,
+    )
+
+    def token_count(strokes):
+        # 2 tokens per vertex + a BOS between strokes + trailing EOS.
+        return sum(2 * np.asarray(x).size for x, _ in strokes) \
+            + max(len(strokes) - 1, 0) + 1
+
+    for seed in range(10):
+        r = np.random.default_rng(seed)
+        strokes = mixed_strokes(r, (108, 300), token_budget=380)
+        frags = fragment_strokes(np.random.default_rng(seed + 100), strokes,
+                                 cut_prob=1.0)
+        assert token_count(frags) <= token_count(strokes)
+        assert len(frags) >= len(strokes)
+        assert all(np.asarray(x).size >= 4 for x, _ in frags)
+        # Every fragment is a contiguous run of some source stroke.
+        for fx, fy in frags:
+            ok = False
+            for sx, sy in strokes:
+                sx = np.asarray(sx)
+                for start in range(sx.size - fx.size + 1):
+                    if (np.array_equal(sx[start:start + fx.size], fx) and
+                            np.array_equal(np.asarray(sy)[start:start + fx.size], fy)):
+                        ok = True
+                        break
+                if ok:
+                    break
+            assert ok
+        again = fragment_strokes(np.random.default_rng(seed + 100), strokes,
+                                 cut_prob=1.0)
+        assert len(again) == len(frags)
+        for (ax, ay), (bx, by) in zip(again, frags):
+            np.testing.assert_array_equal(ax, bx)
+            np.testing.assert_array_equal(ay, by)
+
+
+def test_partitioned_glyph_sample_mixed_never_truncates():
+    """The mixed style (with the fragment augmentation active) must keep
+    every target within budget: EOS in-range, never force-written over a
+    vertex (round-1 failure mode: truncated targets teach early EOS)."""
+    from stroke_derenderer_tpu.data.synthetic import (
+        make_partitioned_glyph_sample,
+    )
+
+    for seed in range(6):
+        r = np.random.default_rng(seed)
+        _, _, toks = make_partitioned_glyph_sample(r, max_length=96,
+                                                   style="mixed")
+        eos_pos = np.flatnonzero(toks == 2)
+        assert eos_pos.size >= 1
+        # Everything after EOS is PAD, and the token right before EOS is a
+        # y-vertex token (>= 3 + 224) — i.e. no mid-vertex truncation.
+        assert (toks[eos_pos[0] + 1:] == 0).all()
+        if eos_pos[0] > 0:
+            assert toks[eos_pos[0] - 1] >= 3 + 224 or toks[eos_pos[0] - 1] == 1

@@ -55,7 +55,14 @@ def test_sharded_decode_matches_single_device():
     assert np.array_equal(out, ref)
 
 
-@pytest.mark.parametrize("n", [8, 4, 2, 1])
+# The n=8 case is the shape the driver actually runs; the degenerate-mesh
+# variants (tp=1, single device) re-compile the same programs for ~2 min of
+# wall time, so they're slow-tier.
+@pytest.mark.parametrize(
+    "n", [8,
+          pytest.param(4, marks=pytest.mark.slow),
+          pytest.param(2, marks=pytest.mark.slow),
+          pytest.param(1, marks=pytest.mark.slow)])
 def test_graft_dryrun(n):
     spec = importlib.util.spec_from_file_location(
         "graft_entry", "/root/repo/__graft_entry__.py")

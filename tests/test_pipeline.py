@@ -233,3 +233,55 @@ def test_redecode_coverage_merges_residual(device_partition):
     for (ax, ay), (bx, by) in zip(merged, batched[0]):
         np.testing.assert_array_equal(ax, bx)
         np.testing.assert_array_equal(ay, by)
+
+
+def test_redecode_pass_loop_semantics():
+    """The multi-pass residual loop (config.redecode_passes): each pass
+    decodes the still-uncovered ink; the loop stops at the coverage floor,
+    on an empty pass, or at the pass budget — per-image and batched paths
+    identically. Decode is stubbed so the loop logic is tested
+    deterministically (model-free)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(TINY_SE, redecode_coverage=1.0,
+                              redecode_passes=3)
+    est = StrokeEstimator.__new__(StrokeEstimator)
+    est.config = cfg
+
+    # Three horizontal bars; the stub "decodes" exactly one bar per call —
+    # the leftmost one with ink in the given mask.
+    mask = np.zeros((64, 200), bool)
+    bars = [(10, 20, 60), (30, 80, 120), (50, 140, 180)]
+    for y, x0, x1 in bars:
+        mask[y:y + 3, x0:x1] = True
+
+    def fake_once(imgs, max_length=None):
+        out = []
+        for m in imgs:
+            m = np.asarray(m).astype(bool)
+            for y, x0, x1 in bars:
+                if m[y + 1, (x0 + x1) // 2]:
+                    xs = np.arange(x0, x1, dtype=np.float64)
+                    out.append([(xs, np.full(xs.size, y + 1.0))])
+                    break
+            else:
+                out.append([])
+        return out
+
+    est._process_images_once = fake_once
+    est._process_image_once = lambda m, ml=None: fake_once([m], ml)[0]
+
+    per_image = est.process_image(mask)
+    assert len(per_image) == 3  # one bar recovered per pass, all three found
+    batched = est.process_images([mask, np.zeros_like(mask)])
+    assert batched[1] == []
+    assert len(batched[0]) == 3
+    for (ax, ay), (bx, by) in zip(per_image, batched[0]):
+        np.testing.assert_array_equal(ax, bx)
+        np.testing.assert_array_equal(ay, by)
+
+    # Pass budget respected: with redecode_passes=1 only one residual pass
+    # runs after the base pass (2 strokes total).
+    est.config = dataclasses.replace(cfg, redecode_passes=1)
+    assert len(est.process_image(mask)) == 2
+    assert len(est.process_images([mask])[0]) == 2
