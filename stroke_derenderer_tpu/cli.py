@@ -88,6 +88,11 @@ def parse_args(argv=None):
                              "(parallel.TwoStagePipeline; stages live on "
                              "disjoint device halves when >1 device). "
                              "Optional value = chunk size (default 8).")
+    parser.add_argument("--quant", choices=["none", "int8"], default=None,
+                        help="Dynamic int8 quantization of the UNet and "
+                             "encoder conv stacks (MXU int8 path, 2x bf16 "
+                             "peak on v5e; ops/quant.py). Any checkpoint "
+                             "runs in either mode.")
     parser.add_argument("--mesh-tp", type=int, default=1, metavar="K",
                         help="Sequence-parallel extent within --mesh: the "
                              "binarizer's tile WIDTH axis shards over a tp "
@@ -96,13 +101,15 @@ def parse_args(argv=None):
 
 
 def initialize_sessions(folderpath, fused: bool = False,
-                        se_overrides: dict | None = None, mesh=None):
+                        se_overrides: dict | None = None, mesh=None,
+                        bin_overrides: dict | None = None):
     """Build both pipelines from a model directory (reference main.py:33-64).
 
     Missing weight files fall back to random init with a warning so the
-    pipeline stays runnable end-to-end. ``se_overrides`` are StrokesConfig
-    field overrides that win over the model dir's config JSON (used by the
-    --decode/--beam-size CLI flags).
+    pipeline stays runnable end-to-end. ``se_overrides``/``bin_overrides``
+    are StrokesConfig/BinarizerConfig field overrides that win over the
+    model dir's config JSON (used by the --decode/--beam-size/--quant CLI
+    flags).
 
     A directory holding the REFERENCE's artifacts (the five ONNX graphs +
     config JSONs a reference user already has, /root/reference/main.py:43-62)
@@ -116,10 +123,14 @@ def initialize_sessions(folderpath, fused: bool = False,
         return p if (p and p.exists()) else None
 
     if _opt("binarizer.onnx") and not _opt("binarizer.msgpack"):
-        return _sessions_from_onnx(folder, fused, se_overrides, mesh)
+        return _sessions_from_onnx(folder, fused, se_overrides, mesh,
+                                   bin_overrides)
 
     bin_cfg_path = _opt("configs_binarizer.json")
     bin_cfg = BinarizerConfig.from_json(bin_cfg_path)
+    if bin_overrides:
+        import dataclasses
+        bin_cfg = dataclasses.replace(bin_cfg, **bin_overrides)
     bin_weights = _opt("binarizer.msgpack")
     if folder and not bin_weights:
         print(f"[warn] {folder}/binarizer.msgpack not found; using random init")
@@ -145,7 +156,8 @@ def initialize_sessions(folderpath, fused: bool = False,
     return binarizer, estimator
 
 
-def _sessions_from_onnx(folder, fused, se_overrides, mesh):
+def _sessions_from_onnx(folder, fused, se_overrides, mesh,
+                        bin_overrides=None):
     """Build both pipelines straight from a reference ONNX model directory
     (weights/graph_import.import_reference_models)."""
     from stroke_derenderer_tpu.weights.graph_import import (
@@ -154,9 +166,11 @@ def _sessions_from_onnx(folder, fused, se_overrides, mesh):
     print(f"[info] importing reference ONNX models from {folder}")
     (bin_cfg, bin_vars, se_cfg, enc_vars, dec_vars,
      proj_vars) = import_reference_models(folder)
+    import dataclasses
     if se_overrides:
-        import dataclasses
         se_cfg = dataclasses.replace(se_cfg, **se_overrides)
+    if bin_overrides:
+        bin_cfg = dataclasses.replace(bin_cfg, **bin_overrides)
     binarizer = Binarizer(bin_cfg, variables=bin_vars, mesh=mesh)
     binarizer.fused = fused
     estimator = StrokeEstimator(se_cfg, variables=(enc_vars, dec_vars,
@@ -328,6 +342,10 @@ def entrypoint(argv=None):
         se_overrides["device_partition"] = True
     if args.host_partition:
         se_overrides["device_partition"] = False
+    bin_overrides = {}
+    if args.quant:
+        se_overrides["quant"] = args.quant
+        bin_overrides["quant"] = args.quant
     mesh = None
     if args.mesh and args.mesh > 1:
         import jax
@@ -341,7 +359,8 @@ def entrypoint(argv=None):
             mesh = make_mesh(args.mesh, tp=args.mesh_tp)
     binarizer, estimator = initialize_sessions(args.models, fused=args.fused,
                                                se_overrides=se_overrides,
-                                               mesh=mesh)
+                                               mesh=mesh,
+                                               bin_overrides=bin_overrides)
     if args.two_stage:
         run_two_stage(imgs, binarizer, estimator, args.output,
                       chunk_size=args.two_stage,

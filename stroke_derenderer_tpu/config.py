@@ -64,6 +64,10 @@ class BinarizerConfig:
 
     # TPU execution.
     compute_dtype: str = "bfloat16"
+    # "int8": dynamic-quant conv stacks on the MXU int8 path (2x bf16 peak
+    # on v5e; ops/quant.py). Param tree is unchanged — any checkpoint runs
+    # in either mode. Execution policy, never frozen into model dirs.
+    quant: str = "none"
     # Pad tile-batch sizes up to a multiple of this to bound recompiles.
     batch_bucket: int = 8
     # binarize_images: width groups with at least this many images run the
@@ -78,7 +82,7 @@ class BinarizerConfig:
     # Execution policy, not architecture: never frozen into exported model
     # dirs (a dir trained when a default differed would silently pin the
     # old policy on every later load — JSON wins over defaults).
-    EXEC_FIELDS = ("batch_bucket", "fused_batch_min")
+    EXEC_FIELDS = ("batch_bucket", "fused_batch_min", "quant")
 
     @classmethod
     def from_json(cls, configs_path: str | Path | None = None, **params) -> "BinarizerConfig":
@@ -139,6 +143,10 @@ class StrokesConfig:
 
     # TPU execution.
     compute_dtype: str = "bfloat16"
+    # "int8": dynamic-quant the ENCODER conv stacks on the MXU int8 path
+    # (ops/quant.py). The decoder stays bf16 (its small per-step matmuls
+    # are latency/bandwidth-bound, and token argmaxes are quant-sensitive).
+    quant: str = "none"
     glyph_bucket: int = 8  # pad glyph-batch to a multiple of this
     # Materialize glyph crops ON DEVICE (composite+resize+pad as batched
     # MXU matmuls from a group-id image, ops/device_partition.py) instead
@@ -175,7 +183,8 @@ class StrokesConfig:
     # must not be pinned by whatever defaults held at training time.
     EXEC_FIELDS = ("decode", "beam_size", "length_penalty", "glyph_bucket",
                    "device_partition", "fused_decode", "fused_block_b",
-                   "redecode_coverage", "redecode_tol", "redecode_passes")
+                   "redecode_coverage", "redecode_tol", "redecode_passes",
+                   "quant")
 
     @classmethod
     def from_json(cls, configs_path: str | Path | None = None, **params) -> "StrokesConfig":

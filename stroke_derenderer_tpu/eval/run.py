@@ -23,7 +23,8 @@ from stroke_derenderer_tpu.eval import (
 
 def evaluate_full(models_dir, n: int = 50, seed: int = 0,
                   width: int = 1152, se_overrides: dict | None = None,
-                  dense: bool = False, style: str = "smooth") -> dict:
+                  dense: bool = False, style: str = "smooth",
+                  bin_overrides: dict | None = None) -> dict:
     """Full metrics: binarization F1 on rendered lines, stroke DTW/chamfer on
     glyph-sized samples with known ground-truth polylines.
 
@@ -41,7 +42,8 @@ def evaluate_full(models_dir, n: int = 50, seed: int = 0,
 
     rng = np.random.default_rng(seed)
     binarizer, estimator = initialize_sessions(models_dir,
-                                               se_overrides=se_overrides)
+                                               se_overrides=se_overrides,
+                                               bin_overrides=bin_overrides)
     h = binarizer.config.height
 
     f1s = []
@@ -118,6 +120,9 @@ def main(argv=None):
     ap.add_argument("--style", choices=["smooth", "mixed"], default="smooth",
                     help="stroke eval distribution: 'mixed' includes "
                          "Lissajous curls/loops/zigzags (the bench class)")
+    ap.add_argument("--quant", choices=["none", "int8"], default=None,
+                    help="dynamic int8 conv stacks (ops/quant.py) for both "
+                         "models — quantized-quality measurement")
     args = ap.parse_args(argv)
     ov = {}
     if args.decode:
@@ -130,9 +135,14 @@ def main(argv=None):
         ov["redecode_coverage"] = args.redecode
     if args.redecode_passes is not None:
         ov["redecode_passes"] = args.redecode_passes
+    bov = {}
+    if args.quant:
+        ov["quant"] = args.quant
+        bov["quant"] = args.quant
     print(json.dumps(evaluate_full(args.models, args.n, args.seed,
                                    se_overrides=ov or None,
-                                   dense=args.dense, style=args.style)))
+                                   dense=args.dense, style=args.style,
+                                   bin_overrides=bov or None)))
     return 0
 
 

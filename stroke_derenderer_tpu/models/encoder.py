@@ -18,6 +18,8 @@ from typing import Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
+from stroke_derenderer_tpu.ops.quant import conv_injection
+
 # arch -> (block kind, stage sizes, stem width, channel multiplier)
 ARCHS = {
     "resnet18": ("basic", (2, 2, 2, 2), 64, 1),
@@ -42,23 +44,27 @@ class BasicBlock(nn.Module):
     strides: int = 1
     dtype: jnp.dtype = jnp.bfloat16
     norm: str = "group"
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x):
+        conv = conv_injection(self.quant)
         residual = x
         # Explicit (1,1) padding, not "SAME": identical at stride 1, but
         # SAME pads (0,1) on stride-2 convs where torch pads (1,1) — a
         # one-pixel grid shift that breaks torch-exported weight parity.
         y = nn.Conv(self.features, (3, 3), (self.strides, self.strides),
                     padding=[(1, 1), (1, 1)], use_bias=False,
-                    dtype=self.dtype)(x)
+                    dtype=self.dtype, conv_general_dilated=conv)(x)
         y = nn.relu(_gn(self.dtype, self.norm)(y))
         y = nn.Conv(self.features, (3, 3), padding=[(1, 1), (1, 1)],
-                    use_bias=False, dtype=self.dtype)(y)
+                    use_bias=False, dtype=self.dtype,
+                    conv_general_dilated=conv)(y)
         y = _gn(self.dtype, self.norm)(y)
         if residual.shape != y.shape:
             residual = nn.Conv(self.features, (1, 1), (self.strides, self.strides),
-                               use_bias=False, dtype=self.dtype, name="proj")(x)
+                               use_bias=False, dtype=self.dtype, name="proj",
+                               conv_general_dilated=conv)(x)
             residual = _gn(self.dtype, self.norm)(residual)
         return nn.relu(y + residual)
 
@@ -68,22 +74,27 @@ class BottleneckBlock(nn.Module):
     strides: int = 1
     dtype: jnp.dtype = jnp.bfloat16
     norm: str = "group"
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, x):
+        conv = conv_injection(self.quant)
         residual = x
-        y = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype)(x)
+        y = nn.Conv(self.features, (1, 1), use_bias=False, dtype=self.dtype,
+                    conv_general_dilated=conv)(x)
         y = nn.relu(_gn(self.dtype, self.norm)(y))
         y = nn.Conv(self.features, (3, 3), (self.strides, self.strides),
                     padding=[(1, 1), (1, 1)], use_bias=False,
-                    dtype=self.dtype)(y)
+                    dtype=self.dtype, conv_general_dilated=conv)(y)
         y = nn.relu(_gn(self.dtype, self.norm)(y))
-        y = nn.Conv(self.features * 4, (1, 1), use_bias=False, dtype=self.dtype)(y)
+        y = nn.Conv(self.features * 4, (1, 1), use_bias=False,
+                    dtype=self.dtype, conv_general_dilated=conv)(y)
         y = _gn(self.dtype, self.norm)(y)
         if residual.shape != y.shape:
             residual = nn.Conv(self.features * 4, (1, 1),
                                (self.strides, self.strides), use_bias=False,
-                               dtype=self.dtype, name="proj")(x)
+                               dtype=self.dtype, name="proj",
+                               conv_general_dilated=conv)(x)
             residual = _gn(self.dtype, self.norm)(residual)
         return nn.relu(y + residual)
 
@@ -93,6 +104,7 @@ class ResNetEncoder(nn.Module):
     arch: str = "resnet50"
     dtype: jnp.dtype = jnp.bfloat16
     norm: str = "group"
+    quant: str = "none"  # "int8": conv stacks contract on the int8 MXU path
 
     @property
     def out_features(self) -> int:
@@ -105,14 +117,16 @@ class ResNetEncoder(nn.Module):
         block = BasicBlock if kind == "basic" else BottleneckBlock
         x = x.astype(self.dtype)
         x = nn.Conv(stem, (7, 7), (2, 2), padding=[(3, 3), (3, 3)],
-                    use_bias=False, dtype=self.dtype, name="stem")(x)
+                    use_bias=False, dtype=self.dtype, name="stem",
+                    conv_general_dilated=conv_injection(self.quant))(x)
         x = nn.relu(_gn(self.dtype, self.norm)(x))
         x = nn.max_pool(x, (3, 3), strides=(2, 2), padding=[(1, 1), (1, 1)])
         for i, n_blocks in enumerate(stages):
             features = stem * (2 ** i)
             for b in range(n_blocks):
                 strides = 2 if (b == 0 and i > 0) else 1
-                x = block(features, strides, self.dtype, self.norm)(x)
+                x = block(features, strides, self.dtype, self.norm,
+                          self.quant)(x)
         return x.astype(jnp.float32)
 
 

@@ -25,6 +25,8 @@ from typing import Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
+from stroke_derenderer_tpu.ops.quant import conv_injection
+
 
 def _norm(norm: str, dtype, features: int):
     if norm == "group":
@@ -40,12 +42,14 @@ class ConvBlock(nn.Module):
     features: int
     norm: str = "group"
     dtype: jnp.dtype = jnp.bfloat16
+    quant: str = "none"  # "int8": dynamic-quant MXU conv (ops/quant.py)
 
     @nn.compact
     def __call__(self, x):
         for _ in range(2):
             x = nn.Conv(self.features, (3, 3), padding="SAME", use_bias=False,
-                        dtype=self.dtype)(x)
+                        dtype=self.dtype,
+                        conv_general_dilated=conv_injection(self.quant))(x)
             x = _norm(self.norm, self.dtype, self.features)(x)
             x = nn.relu(x)
         return x
@@ -56,11 +60,17 @@ class AttentionGate(nn.Module):
     the encoder skip x via sigmoid(psi(relu(Wg g + Wx x)))."""
     inter_features: int
     dtype: jnp.dtype = jnp.bfloat16
+    quant: str = "none"
 
     @nn.compact
     def __call__(self, g, x):
-        wg = nn.Conv(self.inter_features, (1, 1), dtype=self.dtype, name="gate_proj")(g)
-        wx = nn.Conv(self.inter_features, (1, 1), dtype=self.dtype, name="skip_proj")(x)
+        conv = conv_injection(self.quant)
+        wg = nn.Conv(self.inter_features, (1, 1), dtype=self.dtype,
+                     name="gate_proj", conv_general_dilated=conv)(g)
+        wx = nn.Conv(self.inter_features, (1, 1), dtype=self.dtype,
+                     name="skip_proj", conv_general_dilated=conv)(x)
+        # psi stays float: its sigmoid output gates the skip path and is
+        # sensitive to the last-layer quant step.
         alpha = nn.sigmoid(nn.Conv(1, (1, 1), dtype=self.dtype, name="psi")(
             nn.relu(wg + wx)))
         return x * alpha
@@ -72,21 +82,22 @@ class AttentionUNet(nn.Module):
     bottleneck: int = 512
     norm: str = "group"
     dtype: jnp.dtype = jnp.bfloat16
+    quant: str = "none"  # "int8": conv stacks contract on the int8 MXU path
 
     @nn.compact
     def __call__(self, x):
         x = x.astype(self.dtype)
         skips = []
         for f in self.features:
-            x = ConvBlock(f, self.norm, self.dtype)(x)
+            x = ConvBlock(f, self.norm, self.dtype, self.quant)(x)
             skips.append(x)
             x = nn.max_pool(x, (2, 2), strides=(2, 2))
-        x = ConvBlock(self.bottleneck, self.norm, self.dtype)(x)
+        x = ConvBlock(self.bottleneck, self.norm, self.dtype, self.quant)(x)
         for f, skip in zip(reversed(self.features), reversed(skips)):
             x = nn.ConvTranspose(f, (2, 2), strides=(2, 2), dtype=self.dtype)(x)
-            gated = AttentionGate(max(f // 2, 4), self.dtype)(x, skip)
+            gated = AttentionGate(max(f // 2, 4), self.dtype, self.quant)(x, skip)
             x = jnp.concatenate([gated, x], axis=-1)
-            x = ConvBlock(f, self.norm, self.dtype)(x)
+            x = ConvBlock(f, self.norm, self.dtype, self.quant)(x)
         logits = nn.Conv(1, (1, 1), dtype=jnp.float32, name="head")(
             x.astype(jnp.float32))
         return nn.sigmoid(logits)

@@ -58,7 +58,8 @@ def load_variables(template, path: str | Path):
 def build_binarizer_model(config: BinarizerConfig) -> AttentionUNet:
     return AttentionUNet(features=tuple(config.features),
                          bottleneck=config.bottleneck, norm=config.norm,
-                         dtype=jnp.dtype(config.compute_dtype))
+                         dtype=jnp.dtype(config.compute_dtype),
+                         quant=config.quant)
 
 
 def binarizer_template(config: BinarizerConfig):
@@ -78,7 +79,7 @@ def init_binarizer_variables(config: BinarizerConfig, seed: int = 0):
 def build_strokes_models(config: StrokesConfig):
     dtype = jnp.dtype(config.compute_dtype)
     encoder = ResNetEncoder(arch=config.encoder_arch, dtype=dtype,
-                            norm=config.encoder_norm)
+                            norm=config.encoder_norm, quant=config.quant)
     enc_dim = (config.projection_dim or encoder.out_features)
     decoder = AttentiveDecoder(
         vocab_size=config.vocab_size, embed_dim=config.embed_dim,
