@@ -281,17 +281,23 @@ def main(argv=None):
     ap.add_argument("--decode", choices=["greedy", "beam"], default=None)
     ap.add_argument("--beam-size", type=int, default=None)
     ap.add_argument("--device-partition", action="store_true")
+    ap.add_argument("--quant", choices=["none", "int8"], default=None,
+                    help="dynamic int8 conv stacks (ops/quant.py)")
     args = ap.parse_args(argv)
 
-    ov = {}
+    ov, bov = {}, {}
     if args.decode:
         ov["decode"] = args.decode
     if args.beam_size:
         ov["beam_size"] = args.beam_size
     if args.device_partition:
         ov["device_partition"] = True
+    if args.quant:
+        ov["quant"] = args.quant
+        bov["quant"] = args.quant
     binarizer, estimator = initialize_sessions(args.models,
-                                               se_overrides=ov or None)
+                                               se_overrides=ov or None,
+                                               bin_overrides=bov or None)
     worker = BatchWorker(binarizer, estimator,
                          window_s=args.batch_window_ms / 1000.0,
                          max_batch=args.max_batch)
