@@ -1,0 +1,210 @@
+"""Real-dataset ingestion: train and evaluate on user-provided data.
+
+The reference ships no training path, so a user with real handwriting data
+has nothing to feed it. Here, a directory of pairs in the pipeline's OWN
+output format (reference main.py:91-136 contract):
+
+    <stem>.png             the line photo/scan
+    <stem>_STROKES.json    ground-truth polylines [[X_list, Y_list], ...]
+                           at the PNG's resolution, natural writing order
+    <stem>_BINARIZED.png   optional {0,255} ink mask at the
+                           height-normalized resolution (if absent, the
+                           mask is rasterized from the strokes)
+
+becomes training batches for BOTH models with the exact same geometry the
+inference pipeline applies — so `python main.py` output on labeled data can
+be corrected and fed straight back as training data (a label-bootstrap
+loop the reference cannot do).
+
+  * :func:`real_tile_batches` — binarizer pairs: the photo is
+    height-normalized and cut into (H, W) tiles (ops/tiling.py), masks
+    aligned per tile.
+  * :func:`real_glyph_batches` — captioner pairs: the mask runs through
+    the inference partition pipeline (pipeline/strokes.compute_partitions)
+    and each partition's ground-truth strokes are mapped into its 224x224
+    crop frame with the partition's forward transform, then tokenized
+    (data/synthetic.tokens_from_strokes). Same no-truncation discipline as
+    the synthetic generator: glyphs whose token strings exceed the teacher
+    horizon are SKIPPED, not truncated (truncation teaches early EOS —
+    round-1's coverage failure mode).
+
+Strokes are scaled into the height-normalized frame with the uniform
+ratio ``height / png_height`` — the exact inverse of the CLI's output
+rescale (reference main.py:122-134).
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+import numpy as np
+
+from stroke_derenderer_tpu.config import BOS, BinarizerConfig, StrokesConfig
+from stroke_derenderer_tpu.data.synthetic import (
+    rasterize_strokes, tokens_from_strokes,
+)
+from stroke_derenderer_tpu.io.images import load_image
+from stroke_derenderer_tpu.ops.resize import resize_to_height_np
+from stroke_derenderer_tpu.ops.tiling import cut_tiles_np, plan_tiles
+
+
+def discover_pairs(data_dir: str | Path) -> list[tuple[Path, Path]]:
+    """(png, strokes_json) pairs under ``data_dir``; *_BINARIZED.png are
+    masks, not inputs."""
+    data_dir = Path(data_dir)
+    pairs = []
+    for png in sorted(data_dir.glob("*.png")):
+        if png.stem.endswith("_BINARIZED"):
+            continue
+        sj = data_dir / f"{png.stem}_STROKES.json"
+        if sj.exists():
+            pairs.append((png, sj))
+    return pairs
+
+
+def load_pair(png: Path, strokes_json: Path, height: int = 128,
+              thickness: int = 2):
+    """-> (image_rs (height, W_rs, 3) uint8, mask (height, W_rs) uint8 {0,1},
+    strokes [(x, y) float arrays] in the height-normalized frame)."""
+    img = load_image(png)
+    if img.ndim == 2:
+        img = img[:, :, None]
+    if img.shape[2] == 1:
+        img = np.repeat(img, 3, axis=2)
+    ratio = height / img.shape[0]
+    img_rs = resize_to_height_np(img, height)
+
+    raw = json.loads(Path(strokes_json).read_text())
+    strokes = [(np.asarray(s[0], np.float64) * ratio,
+                np.asarray(s[1], np.float64) * ratio) for s in raw]
+
+    bin_png = png.with_name(f"{png.stem}_BINARIZED.png")
+    if bin_png.exists():
+        m = load_image(bin_png)
+        if m.ndim == 3:
+            m = m[:, :, 0]
+        if m.shape[0] != height:
+            m = resize_to_height_np(m[:, :, None], height)[:, :, 0]
+        if m.shape[1] != img_rs.shape[1]:  # rounding drift between files
+            w = min(m.shape[1], img_rs.shape[1])
+            pad = np.zeros((height, img_rs.shape[1]), m.dtype)
+            pad[:, :w] = m[:, :w]
+            m = pad
+        mask = (m > 127).astype(np.uint8)
+    else:
+        mask = rasterize_strokes(strokes, img_rs.shape[:2],
+                                 thickness=thickness).astype(np.uint8)
+    return img_rs, mask, strokes
+
+
+# ----------------------------------------------------------- binarizer side
+
+def _tile_pool(pairs, config: BinarizerConfig):
+    """All (photo_tile, mask_tile) pairs across the dataset, tiled exactly
+    like inference (plan_tiles/cut_tiles_np)."""
+    xs, ys = [], []
+    for png, sj in pairs:
+        img_rs, mask, _ = load_pair(png, sj, config.height)
+        plan = plan_tiles(img_rs.shape[1], config.width, config.overlap)
+        xs.append(cut_tiles_np(img_rs, plan))
+        ys.append(cut_tiles_np(mask[:, :, None] * np.uint8(255), plan))
+    x = np.concatenate(xs, axis=0)
+    y = np.concatenate(ys, axis=0)
+    return x, (y > 127)
+
+
+def real_tile_batches(data_dir: str | Path, rng: np.random.Generator,
+                      batch_size: int, height: int = 128, width: int = 384,
+                      n_batches: int | None = None,
+                      config: BinarizerConfig | None = None):
+    """Yield (tiles f32 [0,1] (B,H,W,3), masks f32 (B,H,W,1)) sampled with
+    replacement from the dataset's tile pool — same contract as
+    data/synthetic.tile_batches."""
+    config = config or BinarizerConfig(height=height, width=width)
+    pairs = discover_pairs(data_dir)
+    if not pairs:
+        raise FileNotFoundError(f"no (png, _STROKES.json) pairs in {data_dir}")
+    x, y = _tile_pool(pairs, config)
+    i = 0
+    while n_batches is None or i < n_batches:
+        idx = rng.integers(0, x.shape[0], size=batch_size)
+        yield (x[idx].astype(np.float32) / 255.0,
+               y[idx].astype(np.float32))
+        i += 1
+
+
+# ----------------------------------------------------------- captioner side
+
+def _assign_strokes(strokes, t1, ratio, t2, image_size: int, tol: float = 2.0):
+    """Strokes whose transformed centroid lands inside the crop, mapped into
+    the crop frame (file order preserved — natural writing order)."""
+    (x1, y1), (x2, y2) = t1, t2
+    out = []
+    for x, y in strokes:
+        cx = (np.mean(x) - x1) * ratio + x2
+        cy = (np.mean(y) - y1) * ratio + y2
+        if -tol <= cx < image_size + tol and -tol <= cy < image_size + tol:
+            out.append(((x - x1) * ratio + x2, (y - y1) * ratio + y2))
+    return out
+
+
+def glyph_samples_from_pair(png: Path, strokes_json: Path,
+                            config: StrokesConfig, max_length: int,
+                            height: int = 128):
+    """All (model_input (S,S,3) f32, tokens (max_length,) i32) glyph samples
+    of one labeled line, built through the inference partition pipeline.
+    Glyphs whose token string would truncate are skipped."""
+    from stroke_derenderer_tpu.pipeline.strokes import compute_partitions
+
+    _, mask, strokes = load_pair(png, strokes_json, height)
+    samples = []
+    for part in compute_partitions(mask, config):
+        crop_strokes = _assign_strokes(
+            strokes, part["translate1"], part["ratio"], part["translate2"],
+            config.image_size)
+        if not crop_strokes:
+            continue
+        n_tokens = sum(2 * len(s[0]) for s in crop_strokes) \
+            + len(crop_strokes)  # BOS separators + EOS
+        if n_tokens > max_length:
+            continue  # never truncate targets (early-EOS trap)
+        toks = tokens_from_strokes(crop_strokes, config.image_size,
+                                   max_length)
+        samples.append((part["image_input"], toks))
+    return samples
+
+
+def real_glyph_batches(data_dir: str | Path, rng: np.random.Generator,
+                       batch_size: int, seq_len: int = 96,
+                       n_batches: int | None = None,
+                       config: StrokesConfig | None = None,
+                       height: int = 128):
+    """Yield (crops (B,S,S,3), tok_in (B,T), tok_out (B,T)) sampled with
+    replacement from the dataset's glyph pool — same teacher-forcing
+    contract as data/synthetic.partitioned_glyph_batches."""
+    config = config or StrokesConfig()
+    pairs = discover_pairs(data_dir)
+    if not pairs:
+        raise FileNotFoundError(f"no (png, _STROKES.json) pairs in {data_dir}")
+    pool = []
+    skipped = 0
+    for png, sj in pairs:
+        got = glyph_samples_from_pair(png, sj, config, seq_len + 1, height)
+        pool.extend(got)
+        skipped += 0 if got else 1
+    if not pool:
+        raise ValueError(
+            f"{data_dir}: no usable glyphs (every partition was empty or "
+            f"exceeded the {seq_len + 1}-token horizon; raise --seq-len)")
+    crops_all = np.stack([c for c, _ in pool])
+    toks_all = np.stack([t for _, t in pool])
+    i = 0
+    while n_batches is None or i < n_batches:
+        idx = rng.integers(0, len(pool), size=batch_size)
+        seqs = toks_all[idx]
+        tok_in = np.concatenate(
+            [np.full((batch_size, 1), BOS, np.int32), seqs[:, :seq_len - 1]],
+            axis=1)
+        yield crops_all[idx], tok_in, seqs[:, :seq_len]
+        i += 1

@@ -97,6 +97,53 @@ def evaluate_full(models_dir, n: int = 50, seed: int = 0,
     }
 
 
+def evaluate_real(models_dir, data_dir, se_overrides: dict | None = None,
+                  bin_overrides: dict | None = None) -> dict:
+    """Score the full pipeline on REAL labeled pairs (data/real.py format:
+    <stem>.png + <stem>_STROKES.json [+ <stem>_BINARIZED.png]) — the photo
+    runs through binarize AND stroke estimation end-to-end, metrics compare
+    against the file ground truth in the height-normalized frame."""
+    from stroke_derenderer_tpu.data.real import discover_pairs, load_pair
+
+    pairs = discover_pairs(data_dir)
+    if not pairs:
+        raise FileNotFoundError(f"no (png, _STROKES.json) pairs in {data_dir}")
+    binarizer, estimator = initialize_sessions(models_dir,
+                                               se_overrides=se_overrides,
+                                               bin_overrides=bin_overrides)
+    h = binarizer.config.height
+
+    f1s, dtws, chamfers, coverages = [], [], [], []
+    for png, sj in pairs:
+        img_rs, mask, strokes = load_pair(png, sj, h)
+        out = binarizer.binarize_image(img_rs)
+        pred_mask = out[:, :, 0] > (255 * binarizer.config.bin_thr)
+        f1s.append(binarization_f1(pred_mask, mask > 0))
+        pred_strokes = estimator.process_image(pred_mask)
+        d = stroke_dtw(pred_strokes, strokes)
+        c = strokes_chamfer(pred_strokes, strokes)
+        dtws.append(d if np.isfinite(d) else None)
+        chamfers.append(c if np.isfinite(c) else None)
+        coverages.append(stroke_coverage(pred_strokes, strokes))
+
+    def _mean(xs):
+        xs = [x for x in xs if x is not None]
+        return float(np.mean(xs)) if xs else None
+
+    dtw_ok = [x for x in dtws if x is not None]
+    return {
+        "n": len(pairs),
+        "binarization_f1": _mean(f1s),
+        "stroke_dtw": _mean(dtws),
+        "stroke_dtw_ci95": (float(1.96 * np.std(dtw_ok)
+                                  / max(len(dtw_ok), 1) ** 0.5)
+                            if len(dtw_ok) > 1 else None),
+        "stroke_dtw_failures": sum(x is None for x in dtws),
+        "stroke_chamfer": _mean(chamfers),
+        "stroke_coverage": _mean(coverages),
+    }
+
+
 def main(argv=None):
     from stroke_derenderer_tpu.utils import honor_platform_env
     honor_platform_env()
@@ -123,6 +170,10 @@ def main(argv=None):
     ap.add_argument("--quant", choices=["none", "int8"], default=None,
                     help="dynamic int8 conv stacks (ops/quant.py) for both "
                          "models — quantized-quality measurement")
+    ap.add_argument("--data", default=None, metavar="DIR",
+                    help="score on REAL labeled pairs from DIR "
+                         "(data/real.py format) instead of synthetic "
+                         "samples; --n/--seed/--style/--dense are ignored")
     args = ap.parse_args(argv)
     ov = {}
     if args.decode:
@@ -139,6 +190,11 @@ def main(argv=None):
     if args.quant:
         ov["quant"] = args.quant
         bov["quant"] = args.quant
+    if args.data:
+        print(json.dumps(evaluate_real(args.models, args.data,
+                                       se_overrides=ov or None,
+                                       bin_overrides=bov or None)))
+        return 0
     print(json.dumps(evaluate_full(args.models, args.n, args.seed,
                                    se_overrides=ov or None,
                                    dense=args.dense, style=args.style,

@@ -87,7 +87,8 @@ def _mesh_tools(mesh):
 
 def train_binarizer(config: BinarizerConfig, steps: int, batch_size: int,
                     out_dir: str | Path, lr: float = 3e-4, seed: int = 0,
-                    ckpt_every: int = 200, log_every: int = 25, mesh=None):
+                    ckpt_every: int = 200, log_every: int = 25, mesh=None,
+                    data_dir: str | Path | None = None):
     model, variables = init_binarizer_variables(config, seed)
     params = variables["params"]
     tx = optax.adamw(optax.warmup_cosine_decay_schedule(
@@ -105,10 +106,16 @@ def train_binarizer(config: BinarizerConfig, steps: int, batch_size: int,
     params, opt_state = shard_state(params), shard_state(opt_state)
     step_fn = jit_step(make_binarizer_train_step(model, tx))
     from stroke_derenderer_tpu.data.loader import PrefetchLoader
-    data = PrefetchLoader(
-        lambda w: tile_batches(np.random.default_rng(seed + w), batch_size,
-                               config.height, config.width),
-        num_workers=2)
+    if data_dir is not None:
+        # Real labeled pairs (data/real.py) instead of synthetic rendering.
+        from stroke_derenderer_tpu.data.real import real_tile_batches
+        make = lambda w: real_tile_batches(
+            data_dir, np.random.default_rng(seed + w), batch_size,
+            config.height, config.width, config=config)
+    else:
+        make = lambda w: tile_batches(np.random.default_rng(seed + w),
+                                      batch_size, config.height, config.width)
+    data = PrefetchLoader(make, num_workers=2)
 
     t0 = time.time()
     for i, (tiles, masks) in enumerate(data, start=start_step):
@@ -146,7 +153,8 @@ def train_captioner(config: StrokesConfig, steps: int, batch_size: int,
                     init_from: str | Path | None = None,
                     coord_sigma: float = 0.0,
                     sample_prob: float = 0.0,
-                    glyph_style: str = "mixed", mesh=None):
+                    glyph_style: str = "mixed", mesh=None,
+                    data_dir: str | Path | None = None):
     encoder, decoder, enc_vars, dec_vars, _ = init_strokes_variables(config, seed)
     params = {"encoder": enc_vars["params"], "decoder": dec_vars["params"]}
     if init_from is not None:
@@ -180,7 +188,14 @@ def train_captioner(config: StrokesConfig, steps: int, batch_size: int,
         total_steps=steps))
     from stroke_derenderer_tpu.data.loader import PrefetchLoader
     from stroke_derenderer_tpu.data.synthetic import partitioned_glyph_batches
-    if glyph_mode == "partitioned":
+    if data_dir is not None:
+        # Real labeled pairs through the inference partition pipeline
+        # (data/real.py) — glyph_mode/style are synthetic-only knobs.
+        from stroke_derenderer_tpu.data.real import real_glyph_batches
+        make = lambda w: real_glyph_batches(
+            data_dir, np.random.default_rng(seed + w), batch_size, seq_len,
+            config=config)
+    elif glyph_mode == "partitioned":
         # Crops generated through the inference partition pipeline — no
         # train/test distribution gap (data/synthetic.py).
         make = lambda w: partitioned_glyph_batches(
@@ -255,6 +270,12 @@ def main(argv=None):
                     help="final probability of feeding the model's own "
                          "previous prediction instead of the gold token "
                          "(ramped linearly; captioner)")
+    ap.add_argument("--data", default=None, metavar="DIR",
+                    help="train on REAL labeled pairs from DIR — "
+                         "<stem>.png + <stem>_STROKES.json "
+                         "[+ <stem>_BINARIZED.png] in the pipeline's own "
+                         "output format (data/real.py) — instead of "
+                         "synthetic rendering")
     ap.add_argument("--glyph-style", choices=["mixed", "smooth"],
                     default="mixed",
                     help="stroke family mix for captioner data: 'mixed' "
@@ -303,14 +324,16 @@ def main(argv=None):
 
     if args.model in ("binarizer", "both"):
         train_binarizer(BinarizerConfig(**bin_kw), args.steps, args.batch,
-                        args.out, args.lr, seed, mesh=mesh)
+                        args.out, args.lr, seed, mesh=mesh,
+                        data_dir=args.data)
     if args.model in ("captioner", "both"):
         train_captioner(StrokesConfig(**se_kw), args.steps, args.batch,
                         args.out, args.lr, seed, seq_len=args.seq_len,
                         init_from=args.init_from,
                         coord_sigma=args.coord_smoothing,
                         sample_prob=args.scheduled_sampling,
-                        glyph_style=args.glyph_style, mesh=mesh)
+                        glyph_style=args.glyph_style, mesh=mesh,
+                        data_dir=args.data)
     return 0
 
 
