@@ -11,7 +11,10 @@ vs_baseline is the measured speedup over the same pipeline on the host CPU
 backend (the reference runs ONNX on CPU, BASELINE.md: published numbers are
 absent; the north-star target is >=20x ONNX-CPU images/sec on one v5e chip).
 The CPU denominator was measured on this machine with --measure-cpu and is
-pinned below; rerun with --measure-cpu to refresh it.
+pinned below; rerun with --measure-cpu to refresh it. It is the conservative
+choice: the reference pipeline itself (its session code over our exported
+ONNX graphs, scripts/reference_baseline.py) measures ~2x SLOWER (0.296
+img/s) on the same workload — see BASELINE.md "Measured denominators".
 
 Robustness: the tunneled accelerator can WEDGE (hang, not error) at any
 point — probe, compile, or mid-run. The timed measurement therefore runs in

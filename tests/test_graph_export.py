@@ -19,8 +19,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
-import torch
-import torch.nn.functional as F
 
 from stroke_derenderer_tpu.config import BinarizerConfig, StrokesConfig
 from stroke_derenderer_tpu.weights.graph_export import (
@@ -32,100 +30,9 @@ from stroke_derenderer_tpu.weights.store import (
     init_binarizer_variables, init_strokes_variables,
 )
 
-# --------------------- torch-backed ONNX interpreter ---------------------
-
-
-def _axes(node, ins):
-    """axes as attribute (opset <13 style) or as trailing input tensor."""
-    if "axes" in node.attrs:
-        return list(node.attrs["axes"])
-    return [int(v) for v in ins[-1].reshape(-1).tolist()]
-
-
-def run_onnx(path, feeds: dict) -> dict:
-    """Execute an ONNX graph with torch ops; returns {output_name: array}.
-
-    Supports exactly the op set graph_export emits. Independent of both
-    flax and graph_import, so it catches graphs that only LOOK right."""
-    g = read_onnx_graph(path)
-    env: dict = {k: torch.from_numpy(np.ascontiguousarray(v))
-                 for k, v in g.initializers.items()}
-    for k, v in feeds.items():
-        env[k] = torch.from_numpy(np.ascontiguousarray(v))
-    for node in g.nodes:
-        ins = [env[n] if n else None for n in node.inputs]
-        a = node.attrs
-        t = node.op_type
-        if t in ("Conv", "ConvTranspose"):
-            pads = list(a.get("pads", [0, 0, 0, 0]))
-            strides = tuple(a.get("strides", [1, 1]))
-            assert pads[:2] == pads[2:], f"asymmetric pads {pads}"
-            fn = F.conv2d if t == "Conv" else F.conv_transpose2d
-            out = fn(ins[0], ins[1], ins[2] if len(ins) > 2 else None,
-                     stride=strides, padding=tuple(pads[:2]))
-        elif t == "BatchNormalization":
-            out = F.batch_norm(ins[0], ins[3], ins[4], ins[1], ins[2],
-                               training=False, eps=a.get("epsilon", 1e-5))
-        elif t == "GroupNormalization":
-            out = F.group_norm(ins[0], int(a["num_groups"]), ins[1], ins[2],
-                               eps=a.get("epsilon", 1e-5))
-        elif t == "Relu":
-            out = torch.relu(ins[0])
-        elif t == "Sigmoid":
-            out = torch.sigmoid(ins[0])
-        elif t == "MaxPool":
-            pads = list(a.get("pads", [0, 0, 0, 0]))
-            out = F.max_pool2d(ins[0], tuple(a["kernel_shape"]),
-                               stride=tuple(a["strides"]),
-                               padding=tuple(pads[:2]))
-        elif t == "Add":
-            out = ins[0] + ins[1]
-        elif t == "Mul":
-            out = ins[0] * ins[1]
-        elif t == "Concat":
-            out = torch.cat([i for i in ins], dim=int(a["axis"]))
-        elif t == "Gemm":
-            w = ins[1].t() if int(a.get("transB", 0)) else ins[1]
-            out = a.get("alpha", 1.0) * (ins[0] @ w)
-            if len(ins) > 2:
-                out = out + a.get("beta", 1.0) * ins[2]
-        elif t == "MatMul":
-            out = torch.matmul(ins[0], ins[1])
-        elif t == "Softmax":
-            out = torch.softmax(ins[0], dim=int(a.get("axis", -1)))
-        elif t == "ReduceSum":
-            dims = _axes(node, ins)
-            out = ins[0].sum(dim=dims, keepdim=bool(a.get("keepdims", 1)))
-        elif t == "Unsqueeze":
-            out = ins[0]
-            for ax in sorted(_axes(node, ins)):
-                out = out.unsqueeze(ax)
-        elif t == "Squeeze":
-            out = ins[0]
-            for ax in sorted(_axes(node, ins), reverse=True):
-                out = out.squeeze(ax)
-        elif t == "Gather":
-            out = torch.index_select(ins[0], int(a.get("axis", 0)),
-                                     ins[1].reshape(-1).long())
-        elif t == "LSTM":
-            X, W, R, B = ins[0], ins[1][0], ins[2][0], ins[3][0]
-            h, c = ins[5][0], ins[6][0]
-            H = int(a["hidden_size"])
-            ys = []
-            for step in range(X.shape[0]):
-                gates = X[step] @ W.t() + h @ R.t() + B[:4 * H] + B[4 * H:]
-                i, o, f, gg = (gates[:, k * H:(k + 1) * H] for k in range(4))
-                c = torch.sigmoid(f) * c + torch.sigmoid(i) * torch.tanh(gg)
-                h = torch.sigmoid(o) * torch.tanh(c)
-                ys.append(h)
-            env[node.outputs[0]] = torch.stack(ys)[:, None]
-            env[node.outputs[1]] = h[None]
-            env[node.outputs[2]] = c[None]
-            continue
-        else:
-            raise NotImplementedError(f"op {t}")
-        env[node.outputs[0]] = out
-    return {o: env[o].numpy() for o in g.outputs}
+# Torch-backed ONNX interpreter: promoted to the package so the
+# reference-baseline script can reuse it (weights/onnx_run.py).
+from stroke_derenderer_tpu.weights.onnx_run import run_onnx  # noqa: E402
 
 
 def _tree_equal(a, b, path=""):
