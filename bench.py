@@ -297,13 +297,23 @@ def main():
     # cross-image amortization and would understate even the CPU number
     # (n=2 measures ~0.42x the n=8 ratio on this host).
     ips = measure("cpu", n_images=N_IMAGES, repeats=1)
-    print(json.dumps({
+    out = {
         "metric": "e2e line images/sec (CPU FALLBACK - accelerator "
                   "unreachable; see BENCH_STAGES.json absence)",
         "value": round(ips, 4),
         "unit": "images/sec",
         "vs_baseline": round(ips / CPU_BASELINE_IPS, 2),
-    }))
+    }
+    try:  # surface the last committed on-chip result alongside the fallback
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_STAGES.json")) as f:
+            prior = json.load(f)
+        out["last_committed_onchip_ips"] = prior.get("e2e_ips")
+        out["last_committed_onchip_vs_baseline"] = round(
+            float(prior["e2e_ips"]) / CPU_BASELINE_IPS, 2)
+    except Exception:
+        pass
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -94,6 +94,29 @@ def test_export_binarizer_executes_and_roundtrips(tmp_path, norm):
     _tree_equal(jax.tree_util.tree_map(np.asarray, variables), vars2)
 
 
+def test_torch_onnx_session_matches_run_onnx(tmp_path):
+    """The InferenceSession drop-in (scripts/reference_baseline.py's ORT
+    shim) returns the same arrays as run_onnx, honors output selection,
+    and is reusable across calls (parsed-once state must not leak)."""
+    from stroke_derenderer_tpu.weights.onnx_run import TorchOnnxSession
+
+    cfg = BinarizerConfig(norm="group", **TINY_BIN)
+    _, variables = init_binarizer_variables(cfg, seed=0)
+    variables = _randomized(variables)
+    path = tmp_path / "binarizer.onnx"
+    export_binarizer_graph(cfg, variables, path)
+
+    x = np.random.default_rng(2).uniform(0, 1, (2, 3, 32, 96)).astype(np.float32)
+    want = run_onnx(path, {"input": x})["output"]
+    sess = TorchOnnxSession(str(path))
+    got = sess.run(["output"], {"input": x})
+    np.testing.assert_array_equal(got[0], want)
+    # default output list + second call on different data
+    x2 = np.random.default_rng(3).uniform(0, 1, (1, 3, 32, 96)).astype(np.float32)
+    got2 = sess.run(None, {"input": x2})
+    np.testing.assert_array_equal(got2[0], run_onnx(path, {"input": x2})["output"])
+
+
 # ------------------------------ encoder ------------------------------
 
 
