@@ -118,6 +118,12 @@ _STYLE_PTS = {
     "travel": (28, 72),
     "zigzag": (10, 28),
 }
+# The "hand" preset mixes the curve families with letterform words
+# (data/letters.py) — script structure the curve families can't produce.
+# Kept as a SEPARATE preset (not folded into "mixed" defaults) so pinned
+# "mixed" eval numbers stay comparable across rounds.
+HAND_PROBS = {"smooth": 0.18, "curl": 0.17, "travel": 0.12, "zigzag": 0.08,
+              "word": 0.45}
 
 
 def mixed_strokes(rng: np.random.Generator, shape: tuple[int, int],
@@ -128,7 +134,11 @@ def mixed_strokes(rng: np.random.Generator, shape: tuple[int, int],
     mid-ink and teaches early stopping — round-1's coverage failure mode).
 
     Budget accounting mirrors the decode grammar exactly: 2 tokens per
-    vertex, one BOS between strokes, one trailing EOS."""
+    vertex, one BOS between strokes, one trailing EOS.
+
+    A ``"word"`` entry in ``style_probs`` (the ``HAND_PROBS`` preset) emits
+    a whole letterform word — a GROUP of strokes (data/letters.py) — in one
+    step, charged against the same budget."""
     probs = style_probs or {"smooth": 0.35, "curl": 0.3, "travel": 0.2,
                             "zigzag": 0.15}
     names = list(probs)
@@ -139,8 +149,24 @@ def mixed_strokes(rng: np.random.Generator, shape: tuple[int, int],
     n = int(rng.integers(1, max_strokes + 1))
     for i in range(n):
         if i > 0:
-            remaining -= 1  # BOS separator
+            remaining -= 1  # BOS separator before this item
         style = names[int(rng.choice(len(names), p=p))]
+        if style == "word":
+            from stroke_derenderer_tpu.data.letters import (
+                sample_word, word_strokes,
+            )
+            # word_strokes' budget contract includes its own EOS slot and
+            # the BOS separators BETWEEN its strokes; the separator before
+            # the group was charged above.
+            group = word_strokes(rng, sample_word(rng), shape,
+                                 token_budget=remaining + 1)
+            cost = (sum(2 * np.asarray(x).size for x, _ in group)
+                    + max(len(group) - 1, 0))
+            if not group or cost > remaining:
+                break
+            remaining -= cost
+            strokes.extend(group)
+            continue
         lo, hi = _STYLE_PTS[style]
         pts = int(rng.integers(lo, hi + 1))
         pts = min(pts, remaining // 2)
@@ -255,6 +281,13 @@ def make_line_sample(rng: np.random.Generator, height: int = 128,
         # Token budget is irrelevant for binarizer masks; large cap.
         strokes = mixed_strokes(rng, (height, width), token_budget=10_000,
                                 max_strokes=n_strokes)
+    elif style == "hand":
+        strokes = mixed_strokes(rng, (height, width), token_budget=10_000,
+                                max_strokes=n_strokes,
+                                style_probs=HAND_PROBS)
+    elif style == "letters":
+        from stroke_derenderer_tpu.data.letters import line_of_words
+        strokes = line_of_words(rng, (height, width))
     else:
         strokes = random_strokes(rng, n_strokes, (height, width))
     mask = rasterize_strokes(strokes, (height, width),
@@ -314,9 +347,19 @@ def make_partitioned_glyph_sample(rng: np.random.Generator,
         # force-writes EOS mid-ink (tokens_from_strokes), and a model
         # trained on truncated targets learns to stop early on dense
         # glyphs (round-1's partial-coverage failure on curl-dense lines).
-        if style == "mixed":
-            strokes = mixed_strokes(rng, (h - 20, win),
-                                    token_budget=max_length - 2)
+        if style in ("mixed", "hand", "letters"):
+            if style == "letters":
+                from stroke_derenderer_tpu.data.letters import (
+                    sample_word, word_strokes,
+                )
+                strokes = (word_strokes(rng, sample_word(rng), (h - 20, win),
+                                        token_budget=max_length - 2)
+                           or mixed_strokes(rng, (h - 20, win),
+                                            token_budget=max_length - 2))
+            else:
+                strokes = mixed_strokes(
+                    rng, (h - 20, win), token_budget=max_length - 2,
+                    style_probs=HAND_PROBS if style == "hand" else None)
             # Residual-ink augmentation (~1 in 4 samples): the re-decode
             # passes hand the model partially-erased strokes at inference;
             # show it that class at training time (fragment_strokes is

@@ -63,9 +63,19 @@ def evaluate_full(models_dir, n: int = 50, seed: int = 0,
     pts = 40 if dense else 24
     for i in range(n):
         cw = widths_cycle[i % len(widths_cycle)]
-        if style == "mixed":
-            strokes = mixed_strokes(rng, (h, cw), token_budget=380,
-                                    max_strokes=3)
+        if style in ("mixed", "hand"):
+            from stroke_derenderer_tpu.data.synthetic import HAND_PROBS
+            strokes = mixed_strokes(
+                rng, (h, cw), token_budget=380, max_strokes=3,
+                style_probs=HAND_PROBS if style == "hand" else None)
+        elif style == "letters":
+            from stroke_derenderer_tpu.data.letters import (
+                sample_word, word_strokes,
+            )
+            strokes = (word_strokes(rng, sample_word(rng), (h, cw),
+                                    token_budget=380)
+                       or mixed_strokes(rng, (h, cw), token_budget=380,
+                                        max_strokes=3))
         else:
             strokes = random_strokes(rng, int(rng.integers(1, 4)), (h, cw),
                                      points_per_stroke=pts)
@@ -164,9 +174,12 @@ def main(argv=None):
     ap.add_argument("--dense", action="store_true",
                     help="harder 40-point-stroke distribution (decode-length "
                          "generalization)")
-    ap.add_argument("--style", choices=["smooth", "mixed"], default="smooth",
+    ap.add_argument("--style", choices=["smooth", "mixed", "hand", "letters"],
+                    default="smooth",
                     help="stroke eval distribution: 'mixed' includes "
-                         "Lissajous curls/loops/zigzags (the bench class)")
+                         "Lissajous curls/loops/zigzags (the bench class); "
+                         "'letters' is letterform words (data/letters.py); "
+                         "'hand' mixes both")
     ap.add_argument("--quant", choices=["none", "int8"], default=None,
                     help="dynamic int8 conv stacks (ops/quant.py) for both "
                          "models — quantized-quality measurement")

@@ -276,10 +276,13 @@ def main(argv=None):
                          "[+ <stem>_BINARIZED.png] in the pipeline's own "
                          "output format (data/real.py) — instead of "
                          "synthetic rendering")
-    ap.add_argument("--glyph-style", choices=["mixed", "smooth"],
+    ap.add_argument("--glyph-style",
+                    choices=["mixed", "smooth", "hand", "letters"],
                     default="mixed",
                     help="stroke family mix for captioner data: 'mixed' "
-                         "adds curls/loops/zigzags (data/synthetic.py)")
+                         "adds curls/loops/zigzags (data/synthetic.py); "
+                         "'letters' is letterform words (data/letters.py); "
+                         "'hand' mixes both")
     ap.add_argument("--mesh", type=int, default=0, metavar="N",
                     help="train over an N-device ('dp','tp') mesh: params "
                          "and optimizer state in tensor-parallel layout, "
