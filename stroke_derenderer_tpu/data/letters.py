@@ -173,7 +173,8 @@ def _resample(x: np.ndarray, y: np.ndarray, n: int):
 def word_strokes(rng: np.random.Generator, word: str,
                  shape: tuple[int, int], token_budget: int = 286,
                  slant: float | None = None,
-                 jitter: float = 0.018) -> list:
+                 jitter: float = 0.018,
+                 join_prob: float | None = None) -> list:
     """Render ``word`` as jittered template strokes fitted inside ``shape``.
 
     Returns a list of (x, y) float arrays in writing order under the hard
@@ -181,7 +182,14 @@ def word_strokes(rng: np.random.Generator, word: str,
     vertex + 1 BOS between strokes + 1 EOS <= token_budget): stroke point
     counts are scaled down (floor 3) and trailing strokes dropped if the
     word alone would overflow. Styling: random x-height scale, per-word
-    slant shear, per-point gaussian jitter, baseline wobble.
+    slant shear, per-point gaussian jitter, baseline wobble, and
+    semi-cursive letter JOINS (``join_prob`` per adjacent letter pair,
+    default sampled per word): the reference's demo inputs are
+    semi-cursive — joined letters form multi-letter single strokes AND
+    bigger connected-component islands, both of which the estimator must
+    handle (reference plot/stroke_estimation.png; partition.py islands).
+    Joining never increases token cost (the bridge replaces a BOS with
+    resampled vertices under the same budget).
     """
     h, w = shape
     letters = [c for c in word if c in LETTER_TEMPLATES]
@@ -203,7 +211,7 @@ def word_strokes(rng: np.random.Generator, word: str,
     slant = rng.uniform(-0.08, 0.28) if slant is None else slant
     y_top = rng.uniform(0, max(h - 1.05 * em, 1e-9))
 
-    raw = []  # (x, y) in pixel space, full template resolution
+    raw = []  # (x, y, letter_index) in pixel space, template resolution
     pen_x = 1.0
     for i, c in enumerate(letters):
         adv, strokes = LETTER_TEMPLATES[c]
@@ -213,8 +221,32 @@ def word_strokes(rng: np.random.Generator, word: str,
             y = y_top + s[:, 1] * em + wobble
             x = x + rng.normal(0.0, jitter * em, x.shape)
             y = y + rng.normal(0.0, jitter * em, y.shape)
-            raw.append((np.clip(x, 0, w - 1), np.clip(y, 0, h - 1)))
+            raw.append((np.clip(x, 0, w - 1), np.clip(y, 0, h - 1), i))
         pen_x += (adv + spacing) * em
+
+    # Semi-cursive joins: with probability join_prob per adjacent letter
+    # pair, fuse the previous letter's trailing stroke with the next
+    # letter's leading stroke when both endpoints sit in the x-height band
+    # and the gap runs forward — the straight connector materializes at
+    # resample time (arc-length interpolation bridges the concatenation).
+    join_prob = float(rng.uniform(0.25, 0.85)) if join_prob is None else join_prob
+    band_lo = y_top + (_XTOP - 0.06) * em
+    band_hi = y_top + (_BASE + 0.08) * em
+    joined: list = []
+    prev_li = None
+    for x, y, li in raw:
+        if (joined and prev_li is not None and li == prev_li + 1
+                and rng.random() < join_prob):
+            px, py = joined[-1]
+            if (band_lo <= py[-1] <= band_hi and band_lo <= y[0] <= band_hi
+                    and 0.0 < x[0] - px[-1] < 0.9 * em):
+                joined[-1] = (np.concatenate([px, x]),
+                              np.concatenate([py, y]))
+                prev_li = li
+                continue
+        joined.append((x, y))
+        prev_li = li
+    raw = joined
 
     # Token-budget fit: desired points per stroke ~ arc length / (em/9),
     # clipped to [3, len]; then scale down uniformly if over budget.

@@ -260,23 +260,55 @@ def tokens_from_strokes(strokes, image_size: int, max_length: int) -> np.ndarray
     return out
 
 
-def _photo_render(mask: np.ndarray, rng: np.random.Generator) -> np.ndarray:
-    """Mask -> noisy grayscale 'scan' image (uint8 RGB), dark ink on light
-    paper with illumination gradient and speckle."""
+# Ruling-line palette: light blue / pink / gray (the reference's demo
+# input is handwriting on pink ruled paper with colored guide lines —
+# plot/binarization.png — which the binarizer must segment AWAY).
+_RULE_COLORS = np.asarray([[150.0, 180.0, 230.0],
+                           [230.0, 160.0, 185.0],
+                           [175.0, 175.0, 175.0]])
+
+
+def _photo_render(mask: np.ndarray, rng: np.random.Generator,
+                  ruled: bool = False) -> np.ndarray:
+    """Mask -> noisy 'scan' image (uint8 RGB), dark ink on light paper with
+    illumination gradient and speckle. ``ruled=True`` adds a paper tint and
+    colored horizontal ruling lines UNDER the ink — distractor structure
+    the binarizer must learn to drop (its target stays the ink mask). The
+    plain branch's rng draw sequence is unchanged (pinned evals)."""
     h, w = mask.shape
     paper = rng.uniform(200, 245) + rng.uniform(-15, 15) * np.linspace(
         0, 1, w)[None, :]
     img = paper + rng.normal(0, 6, (h, w))
+    if not ruled:
+        ink = rng.uniform(10, 70)
+        img = np.where(mask > 0, ink + rng.normal(0, 10, (h, w)), img)
+        img = np.clip(img, 0, 255).astype(np.uint8)
+        return np.repeat(img[:, :, None], 3, axis=2)
+
+    rgb = np.repeat(img[:, :, None], 3, axis=2)
+    tint = rng.uniform(0.86, 1.0, 3)
+    tint[int(rng.integers(0, 3))] = 1.0  # keep one channel bright
+    rgb = rgb * tint[None, None, :]
+    spacing = float(rng.uniform(18, 60))
+    phase = float(rng.uniform(0, spacing))
+    thickness = int(rng.integers(1, 3))
+    color = _RULE_COLORS[int(rng.integers(0, len(_RULE_COLORS)))]
+    color = np.clip(color + rng.normal(0, 8, 3), 0, 255)
+    alpha = float(rng.uniform(0.35, 0.85))
+    line_rows = ((np.arange(h) - phase) % spacing) < thickness
+    rgb[line_rows] = rgb[line_rows] * (1 - alpha) + color[None, :] * alpha
     ink = rng.uniform(10, 70)
-    img = np.where(mask > 0, ink + rng.normal(0, 10, (h, w)), img)
-    img = np.clip(img, 0, 255).astype(np.uint8)
-    return np.repeat(img[:, :, None], 3, axis=2)
+    ink_img = ink + rng.normal(0, 10, (h, w))
+    rgb = np.where((mask > 0)[:, :, None], ink_img[:, :, None], rgb)
+    return np.clip(rgb, 0, 255).astype(np.uint8)
 
 
 def make_line_sample(rng: np.random.Generator, height: int = 128,
                      width: int = 1152, n_strokes: int = 12,
-                     style: str = "mixed"):
-    """(rgb line image, clean {0,1} mask) for binarizer training."""
+                     style: str = "mixed", ruled: float = 0.0):
+    """(rgb line image, clean {0,1} mask) for binarizer training. ``ruled``
+    is the probability of rendering onto ruled colored paper (the
+    reference's demo input class; the mask still excludes the ruling)."""
     if style == "mixed":
         # Token budget is irrelevant for binarizer masks; large cap.
         strokes = mixed_strokes(rng, (height, width), token_budget=10_000,
@@ -292,7 +324,9 @@ def make_line_sample(rng: np.random.Generator, height: int = 128,
         strokes = random_strokes(rng, n_strokes, (height, width))
     mask = rasterize_strokes(strokes, (height, width),
                              thickness=int(rng.integers(1, 4)))
-    return _photo_render(mask, rng), mask
+    # Short-circuit keeps the rng draw sequence unchanged at ruled=0.0.
+    use_ruled = ruled > 0.0 and bool(rng.random() < ruled)
+    return _photo_render(mask, rng, ruled=use_ruled), mask
 
 
 def make_glyph_sample(rng: np.random.Generator, image_size: int = 224,
@@ -406,15 +440,18 @@ def partitioned_glyph_batches(rng: np.random.Generator, batch_size: int,
 
 
 def tile_batches(rng: np.random.Generator, batch_size: int, height: int = 128,
-                 width: int = 384, n_batches: int | None = None):
+                 width: int = 384, n_batches: int | None = None,
+                 style: str = "mixed", ruled: float = 0.0):
     """Yield (tiles f32 [0,1] (B,H,W,3), masks f32 (B,H,W,1)) forever (or
-    n_batches times)."""
+    n_batches times). ``ruled`` is the per-sample probability of rendering
+    on ruled colored paper (distractor lines excluded from the mask)."""
     i = 0
     while n_batches is None or i < n_batches:
         imgs, masks = [], []
         for _ in range(batch_size):
             img, mask = make_line_sample(rng, height, width,
-                                         n_strokes=int(rng.integers(3, 8)))
+                                         n_strokes=int(rng.integers(3, 8)),
+                                         style=style, ruled=ruled)
             imgs.append(img.astype(np.float32) / 255.0)
             masks.append(mask.astype(np.float32)[:, :, None])
         yield np.stack(imgs), np.stack(masks)

@@ -24,7 +24,8 @@ from stroke_derenderer_tpu.eval import (
 def evaluate_full(models_dir, n: int = 50, seed: int = 0,
                   width: int = 1152, se_overrides: dict | None = None,
                   dense: bool = False, style: str = "smooth",
-                  bin_overrides: dict | None = None) -> dict:
+                  bin_overrides: dict | None = None,
+                  ruled: float = 0.0) -> dict:
     """Full metrics: binarization F1 on rendered lines, stroke DTW/chamfer on
     glyph-sized samples with known ground-truth polylines.
 
@@ -51,7 +52,10 @@ def evaluate_full(models_dir, n: int = 50, seed: int = 0,
         strokes = random_strokes(rng, int(rng.integers(3, 8)), (h, width))
         mask = rasterize_strokes(strokes, (h, width),
                                  thickness=int(rng.integers(1, 4)))
-        img = _photo_render(mask, rng)
+        # Short-circuit keeps the rng sequence unchanged at ruled=0.0 so
+        # pinned eval numbers stay comparable across rounds.
+        use_ruled = ruled > 0.0 and bool(rng.random() < ruled)
+        img = _photo_render(mask, rng, ruled=use_ruled)
         out = binarizer.binarize_image(img)
         pred = out[:, :, 0] > (255 * binarizer.config.bin_thr)
         f1s.append(binarization_f1(pred, mask > 0))
@@ -180,6 +184,9 @@ def main(argv=None):
                          "Lissajous curls/loops/zigzags (the bench class); "
                          "'letters' is letterform words (data/letters.py); "
                          "'hand' mixes both")
+    ap.add_argument("--ruled", type=float, default=0.0, metavar="P",
+                    help="probability a binarization-F1 line renders on "
+                         "ruled colored paper (distractor guide lines)")
     ap.add_argument("--quant", choices=["none", "int8"], default=None,
                     help="dynamic int8 conv stacks (ops/quant.py) for both "
                          "models — quantized-quality measurement")
@@ -211,7 +218,8 @@ def main(argv=None):
     print(json.dumps(evaluate_full(args.models, args.n, args.seed,
                                    se_overrides=ov or None,
                                    dense=args.dense, style=args.style,
-                                   bin_overrides=bov or None)))
+                                   bin_overrides=bov or None,
+                                   ruled=args.ruled)))
     return 0
 
 

@@ -88,9 +88,17 @@ def _mesh_tools(mesh):
 def train_binarizer(config: BinarizerConfig, steps: int, batch_size: int,
                     out_dir: str | Path, lr: float = 3e-4, seed: int = 0,
                     ckpt_every: int = 200, log_every: int = 25, mesh=None,
-                    data_dir: str | Path | None = None):
+                    data_dir: str | Path | None = None,
+                    line_style: str = "mixed", ruled: float = 0.0,
+                    init_from: str | Path | None = None):
     model, variables = init_binarizer_variables(config, seed)
     params = variables["params"]
+    if init_from is not None:
+        from stroke_derenderer_tpu.weights.store import load_variables
+        params = load_variables(
+            {"params": params},
+            Path(init_from) / "binarizer.msgpack")["params"]
+        log.info("warm-started binarizer from %s", init_from)
     tx = optax.adamw(optax.warmup_cosine_decay_schedule(
         0.0, lr, min(100, steps // 10 + 1), steps))
     opt_state = tx.init(params)
@@ -114,7 +122,8 @@ def train_binarizer(config: BinarizerConfig, steps: int, batch_size: int,
             config.height, config.width, config=config)
     else:
         make = lambda w: tile_batches(np.random.default_rng(seed + w),
-                                      batch_size, config.height, config.width)
+                                      batch_size, config.height, config.width,
+                                      style=line_style, ruled=ruled)
     data = PrefetchLoader(make, num_workers=2)
 
     t0 = time.time()
@@ -262,7 +271,9 @@ def main(argv=None):
     ap.add_argument("--seq-len", type=int, default=96,
                     help="teacher-forcing sequence length (captioner)")
     ap.add_argument("--init-from", default=None, metavar="MODELDIR",
-                    help="warm-start captioner params from a model dir")
+                    help="warm-start params from a model dir (binarizer "
+                         "and/or captioner); the dir's config JSONs are "
+                         "adopted so architectures match the weights")
     ap.add_argument("--coord-smoothing", type=float, default=0.0,
                     help="Gaussian sigma (px) for coordinate-aware label "
                          "smoothing of vertex tokens (captioner)")
@@ -283,6 +294,14 @@ def main(argv=None):
                          "adds curls/loops/zigzags (data/synthetic.py); "
                          "'letters' is letterform words (data/letters.py); "
                          "'hand' mixes both")
+    ap.add_argument("--line-style",
+                    choices=["mixed", "smooth", "hand", "letters"],
+                    default="mixed",
+                    help="stroke family for binarizer line rendering")
+    ap.add_argument("--ruled", type=float, default=0.0, metavar="P",
+                    help="probability a binarizer training line renders on "
+                         "ruled colored paper (distractor guide lines the "
+                         "mask excludes — the reference demo input class)")
     ap.add_argument("--mesh", type=int, default=0, metavar="N",
                     help="train over an N-device ('dp','tp') mesh: params "
                          "and optimizer state in tensor-parallel layout, "
@@ -306,6 +325,15 @@ def main(argv=None):
         feats = tuple(int(x) for x in args.bin_features.split(","))
         bin_kw = {"features": feats, "bottleneck": feats[-1] * 2}
     se_kw = {"encoder_arch": args.encoder_arch} if args.encoder_arch else {}
+    # Warm starts must match the checkpoint's architecture: adopt the model
+    # dir's config JSONs when present (JSON-over-kwargs precedence, same as
+    # inference session init / the reference's params.update order).
+    bin_cfg_json = se_cfg_json = None
+    if args.init_from:
+        p = Path(args.init_from) / "configs_binarizer.json"
+        bin_cfg_json = p if p.exists() else None
+        p = Path(args.init_from) / "configs_strokes.json"
+        se_cfg_json = p if p.exists() else None
 
     mesh = None
     seed = args.seed
@@ -326,11 +354,14 @@ def main(argv=None):
                  mesh.shape["dp"], mesh.shape["tp"])
 
     if args.model in ("binarizer", "both"):
-        train_binarizer(BinarizerConfig(**bin_kw), args.steps, args.batch,
+        train_binarizer(BinarizerConfig.from_json(bin_cfg_json, **bin_kw),
+                        args.steps, args.batch,
                         args.out, args.lr, seed, mesh=mesh,
-                        data_dir=args.data)
+                        data_dir=args.data, line_style=args.line_style,
+                        ruled=args.ruled, init_from=args.init_from)
     if args.model in ("captioner", "both"):
-        train_captioner(StrokesConfig(**se_kw), args.steps, args.batch,
+        train_captioner(StrokesConfig.from_json(se_cfg_json, **se_kw),
+                        args.steps, args.batch,
                         args.out, args.lr, seed, seq_len=args.seq_len,
                         init_from=args.init_from,
                         coord_sigma=args.coord_smoothing,

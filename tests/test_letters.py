@@ -75,6 +75,55 @@ def test_word_strokes_writing_order_is_left_to_right():
     assert stems[0] < stems[-1] - 20
 
 
+def test_cursive_joins_reduce_stroke_count_within_budget():
+    """join_prob=1 fuses adjacent-letter strokes (semi-cursive words like
+    the reference demo input) without breaking the token-budget contract."""
+    rng_a, rng_b = np.random.default_rng(8), np.random.default_rng(8)
+    sep = word_strokes(rng_a, "nine", (100, 400), token_budget=2000,
+                       join_prob=0.0)
+    cur = word_strokes(rng_b, "nine", (100, 400), token_budget=2000,
+                       join_prob=1.0)
+    assert len(cur) < len(sep)
+    rng = np.random.default_rng(9)
+    for i in range(100):
+        budget = int(rng.integers(20, 386))
+        ws = word_strokes(rng, sample_word(rng), (90, 500),
+                          token_budget=budget, join_prob=1.0)
+        assert _token_cost(ws) <= budget, (i, budget)
+
+
+def test_ruled_photo_render():
+    """Ruled paper adds colored distractor rows; ink pixels stay dark; the
+    plain branch's rng sequence is byte-identical to before."""
+    from stroke_derenderer_tpu.data.synthetic import _photo_render
+
+    mask = np.zeros((64, 200), np.uint8)
+    mask[30:33, 20:180] = 1
+    img = _photo_render(np.copy(mask), np.random.default_rng(10), ruled=True)
+    assert img.shape == (64, 200, 3) and img.dtype == np.uint8
+    # ink is dark in every channel
+    assert img[31, 100].max() < 120
+    # some non-ink rows are visibly chromatic (ruling lines) or tinted
+    off_ink = img[mask == 0].astype(int)
+    chroma = off_ink.max(1) - off_ink.min(1)
+    assert (chroma > 25).sum() > 50
+    # plain branch: identical draws to the ruled branch's shared prefix
+    a = _photo_render(np.copy(mask), np.random.default_rng(11))
+    b = _photo_render(np.copy(mask), np.random.default_rng(11))
+    np.testing.assert_array_equal(a, b)
+    assert a[..., 0].tolist() == a[..., 1].tolist()  # grayscale
+
+
+def test_make_line_sample_ruled_probability():
+    rng = np.random.default_rng(12)
+    got_ruled = 0
+    for _ in range(8):
+        img, mask = make_line_sample(rng, 96, 400, style="letters", ruled=1.0)
+        off = img[mask == 0].astype(int)
+        got_ruled += int(((off.max(1) - off.min(1)) > 25).sum() > 30)
+    assert got_ruled >= 6  # tint/ruling visible in nearly all samples
+
+
 def test_hand_mix_budget_contract():
     rng = np.random.default_rng(4)
     for i in range(100):
