@@ -88,9 +88,10 @@ LETTER_TEMPLATES: dict[str, tuple[float, list]] = {
                  _line(0.46, _XTOP, 0.46, _DESC, 10)]),
     "p": (0.58, [_line(0.12, _XTOP, 0.12, _DESC, 10),
                  _arc(0.32, _MID, _R, _R, np.pi, -np.pi, 18)]),
-    "s": (0.50, [_cat(_arc(0.27, _XTOP + 0.09, 0.15, 0.09, -0.6, -np.pi, 10),
-                      _arc(0.25, _BASE - 0.105, 0.17, 0.105,
-                           np.pi, 2 * np.pi - 0.6, 10))]),
+    "s": (0.50, [_cat(_arc(0.26, _MID - 0.10, 0.14, 0.10, -0.3,
+                           -1.5 * np.pi, 12),
+                      _arc(0.26, _MID + 0.10, 0.16, 0.10, -np.pi / 2,
+                           np.pi - 0.4, 12))]),
     # stem + arch letters
     "l": (0.30, [_line(0.15, _ASC, 0.15, _BASE, 12)]),
     "i": (0.30, [_line(0.15, _XTOP, 0.15, _BASE, 8),
@@ -120,7 +121,7 @@ LETTER_TEMPLATES: dict[str, tuple[float, list]] = {
                  _cat(_line(0.12, _BASE - 0.02, 0.12, _MID, 4),
                       _arc(0.26, _MID, 0.14, _R, np.pi, np.pi + 2.2, 8))]),
     "u": (0.56, [_cat(_line(0.12, _XTOP, 0.12, _MID, 5),
-                      _arc(0.28, _MID, 0.16, _R, np.pi, 2 * np.pi, 10),
+                      _arc(0.28, _MID, 0.16, _R, np.pi, 0.0, 10),
                       _line(0.44, _MID, 0.44, _XTOP, 5)),
                  _line(0.44, _XTOP, 0.46, _BASE, 6)]),
     "j": (0.34, [_cat(_line(0.20, _XTOP, 0.20, 0.92, 9),
@@ -140,6 +141,119 @@ LETTER_TEMPLATES: dict[str, tuple[float, list]] = {
                  _poly((0.40, _XTOP), (0.12, _MID + 0.03), (0.42, _BASE))]),
 }
 
+_CTOP = 0.10                        # capital top y
+_CMID = (_CTOP + _BASE) / 2         # 0.45
+_CR = (_BASE - _CTOP) / 2           # 0.35, capital bowl radius
+
+# Capitals: cap-height strokes (the reference demo line starts with a
+# capital — plot/binarization.png "It is their hearts").
+CAPITAL_TEMPLATES: dict[str, tuple[float, list]] = {
+    "A": (0.64, [_line(0.06, _BASE, 0.32, _CTOP, 9),
+                 _line(0.32, _CTOP, 0.58, _BASE, 9),
+                 _line(0.17, 0.58, 0.47, 0.58, 5)]),
+    "B": (0.58, [_line(0.12, _CTOP, 0.12, _BASE, 10),
+                 _cat(_line(0.12, _CTOP, 0.30, _CTOP, 3),
+                      _arc(0.30, (_CTOP + _CMID) / 2, 0.17,
+                           (_CMID - _CTOP) / 2, -np.pi / 2, np.pi / 2, 8),
+                      _line(0.30, _CMID, 0.12, _CMID, 3)),
+                 _cat(_line(0.12, _CMID, 0.32, _CMID, 3),
+                      _arc(0.32, (_CMID + _BASE) / 2, 0.19,
+                           (_BASE - _CMID) / 2, -np.pi / 2, np.pi / 2, 8),
+                      _line(0.32, _BASE, 0.12, _BASE, 3))]),
+    "C": (0.62, [_arc(0.34, _CMID, 0.26, _CR, -np.pi / 4, -7 * np.pi / 4, 16)]),
+    "D": (0.62, [_line(0.12, _CTOP, 0.12, _BASE, 10),
+                 _cat(_line(0.12, _CTOP, 0.26, _CTOP, 3),
+                      _arc(0.26, _CMID, 0.24, _CR, -np.pi / 2, np.pi / 2, 12),
+                      _line(0.26, _BASE, 0.12, _BASE, 3))]),
+    "E": (0.54, [_poly((0.44, _CTOP), (0.12, _CTOP), (0.12, _BASE),
+                       (0.44, _BASE)),
+                 _line(0.12, _CMID, 0.38, _CMID, 4)]),
+    "F": (0.52, [_poly((0.44, _CTOP), (0.12, _CTOP), (0.12, _BASE)),
+                 _line(0.12, _CMID, 0.38, _CMID, 4)]),
+    "G": (0.64, [_cat(_arc(0.34, _CMID, 0.26, _CR, -np.pi / 4,
+                           -7 * np.pi / 4, 16),
+                      _line(0.53, _CMID + 0.12, 0.36, _CMID + 0.12, 4))]),
+    "H": (0.62, [_line(0.12, _CTOP, 0.12, _BASE, 10),
+                 _line(0.50, _CTOP, 0.50, _BASE, 10),
+                 _line(0.12, _CMID, 0.50, _CMID, 5)]),
+    "I": (0.30, [_line(0.15, _CTOP, 0.15, _BASE, 10)]),
+    "J": (0.44, [_cat(_line(0.32, _CTOP, 0.32, _BASE - 0.10, 9),
+                      _arc(0.21, _BASE - 0.10, 0.11, 0.10, 0, np.pi, 7))]),
+    "K": (0.58, [_line(0.12, _CTOP, 0.12, _BASE, 10),
+                 _poly((0.48, _CTOP), (0.12, _CMID + 0.02), (0.50, _BASE))]),
+    "L": (0.50, [_poly((0.12, _CTOP), (0.12, _BASE), (0.44, _BASE))]),
+    "M": (0.78, [_poly((0.08, _BASE), (0.10, _CTOP), (0.38, _BASE - 0.12),
+                       (0.66, _CTOP), (0.68, _BASE))]),
+    "N": (0.64, [_poly((0.12, _BASE), (0.12, _CTOP), (0.52, _BASE),
+                       (0.52, _CTOP))]),
+    "O": (0.66, [_arc(0.33, _CMID, 0.26, _CR, -np.pi / 2, 3 * np.pi / 2, 20)]),
+    "P": (0.56, [_line(0.12, _CTOP, 0.12, _BASE, 10),
+                 _cat(_line(0.12, _CTOP, 0.30, _CTOP, 3),
+                      _arc(0.30, (_CTOP + _CMID) / 2, 0.18,
+                           (_CMID - _CTOP) / 2, -np.pi / 2, np.pi / 2, 9),
+                      _line(0.30, _CMID, 0.12, _CMID, 3))]),
+    "Q": (0.66, [_arc(0.33, _CMID, 0.26, _CR, -np.pi / 2, 3 * np.pi / 2, 20),
+                 _line(0.40, _BASE - 0.14, 0.56, _BASE + 0.04, 4)]),
+    "R": (0.58, [_line(0.12, _CTOP, 0.12, _BASE, 10),
+                 _cat(_line(0.12, _CTOP, 0.30, _CTOP, 3),
+                      _arc(0.30, (_CTOP + _CMID) / 2, 0.18,
+                           (_CMID - _CTOP) / 2, -np.pi / 2, np.pi / 2, 9),
+                      _line(0.30, _CMID, 0.12, _CMID, 3)),
+                 _line(0.26, _CMID, 0.50, _BASE, 7)]),
+    "S": (0.54, [_cat(_arc(0.28, _CTOP + 0.18, 0.17, 0.18, -0.3,
+                           -1.5 * np.pi, 12),
+                      _arc(0.28, _BASE - 0.18, 0.19, 0.18, -np.pi / 2,
+                           np.pi - 0.4, 12))]),
+    "T": (0.56, [_line(0.06, _CTOP, 0.50, _CTOP, 6),
+                 _line(0.28, _CTOP, 0.28, _BASE, 10)]),
+    "U": (0.62, [_cat(_line(0.12, _CTOP, 0.12, _CMID + 0.10, 6),
+                      _arc(0.31, _CMID + 0.10, 0.19, _BASE - _CMID - 0.10,
+                           np.pi, 0.0, 10),
+                      _line(0.50, _CMID + 0.10, 0.50, _CTOP, 6))]),
+    "V": (0.60, [_poly((0.08, _CTOP), (0.30, _BASE), (0.52, _CTOP))]),
+    "W": (0.84, [_poly((0.06, _CTOP), (0.22, _BASE), (0.38, _CMID),
+                       (0.54, _BASE), (0.70, _CTOP))]),
+    "X": (0.58, [_line(0.08, _CTOP, 0.50, _BASE, 9),
+                 _line(0.50, _CTOP, 0.08, _BASE, 9)]),
+    "Y": (0.58, [_poly((0.08, _CTOP), (0.29, _CMID), (0.50, _CTOP)),
+                 _line(0.29, _CMID, 0.29, _BASE, 7)]),
+    "Z": (0.56, [_poly((0.08, _CTOP), (0.48, _CTOP), (0.08, _BASE),
+                       (0.50, _BASE))]),
+}
+
+# Digits: cap-height.
+DIGIT_TEMPLATES: dict[str, tuple[float, list]] = {
+    "0": (0.58, [_arc(0.29, _CMID, 0.21, _CR, -np.pi / 2, 3 * np.pi / 2, 18)]),
+    "1": (0.36, [_poly((0.08, _CTOP + 0.14), (0.22, _CTOP), (0.22, _BASE))]),
+    "2": (0.54, [_cat(_arc(0.27, _CTOP + 0.16, 0.17, 0.16, np.pi, 2.5 * np.pi,
+                           10),
+                      _poly((0.40, _CMID - 0.02), (0.10, _BASE),
+                            (0.46, _BASE)))]),
+    "3": (0.52, [_cat(_arc(0.26, _CTOP + 0.16, 0.16, 0.16, -np.pi * 0.75,
+                           np.pi / 2, 9),
+                      _arc(0.26, _BASE - 0.18, 0.18, 0.18, -np.pi / 2,
+                           np.pi * 0.75, 9))]),
+    "4": (0.58, [_poly((0.38, _BASE), (0.38, _CTOP), (0.08, _CMID + 0.10),
+                       (0.50, _CMID + 0.10))]),
+    "5": (0.54, [_cat(_poly((0.44, _CTOP), (0.14, _CTOP), (0.12, _CMID)),
+                      _arc(0.27, (_CMID + _BASE) / 2, 0.17,
+                           (_BASE - _CMID) / 2, -np.pi / 2, np.pi * 0.85,
+                           10))]),
+    "6": (0.56, [_cat(_poly((0.42, _CTOP), (0.13, _CMID + 0.08)),
+                      _arc(0.28, _BASE - 0.17, 0.17, 0.17, np.pi,
+                           3 * np.pi, 14))]),
+    "7": (0.52, [_poly((0.08, _CTOP), (0.46, _CTOP), (0.20, _BASE))]),
+    "8": (0.54, [_cat(_arc(0.27, _CTOP + 0.16, 0.15, 0.16, np.pi / 2,
+                           2.5 * np.pi, 12),
+                      _arc(0.27, _BASE - 0.18, 0.18, 0.18, -np.pi / 2,
+                           1.5 * np.pi, 12))]),
+    "9": (0.56, [_arc(0.26, _CTOP + 0.17, 0.16, 0.17, 0, 2 * np.pi, 12),
+                 _poly((0.42, _CTOP + 0.17), (0.40, _BASE))]),
+}
+
+LETTER_TEMPLATES.update(CAPITAL_TEMPLATES)
+LETTER_TEMPLATES.update(DIGIT_TEMPLATES)
+
 # Rough relative letter frequencies (english-ish) so words look like text
 # rather than uniform glyph soup.
 _FREQ = {"e": 12.7, "t": 9.1, "a": 8.2, "o": 7.5, "i": 7.0, "n": 6.7,
@@ -147,17 +261,26 @@ _FREQ = {"e": 12.7, "t": 9.1, "a": 8.2, "o": 7.5, "i": 7.0, "n": 6.7,
          "u": 2.8, "m": 2.4, "w": 2.4, "f": 2.2, "g": 2.0, "y": 2.0,
          "p": 1.9, "b": 1.5, "v": 1.0, "k": 0.8, "j": 0.15, "x": 0.15,
          "q": 0.1, "z": 0.1}
-_LETTERS = sorted(LETTER_TEMPLATES)
+_LETTERS = sorted(_FREQ)  # lowercase sampling pool
 _LETTER_P = np.asarray([_FREQ[c] for c in _LETTERS], np.float64)
 _LETTER_P /= _LETTER_P.sum()
+_DIGITS = sorted(DIGIT_TEMPLATES)
 
 
 def sample_word(rng: np.random.Generator, n_letters: int | None = None) -> str:
-    """A random letter sequence with english-ish letter statistics."""
+    """A random letter sequence with english-ish letter statistics;
+    occasionally a Capitalized word (sentence starts / names — the
+    reference demo line begins with one) or a digit string."""
     if n_letters is None:
         n_letters = int(rng.integers(2, 7))
+    if rng.random() < 0.06:
+        return "".join(_DIGITS[i] for i in
+                       rng.integers(0, len(_DIGITS), n_letters))
     idx = rng.choice(len(_LETTERS), size=n_letters, p=_LETTER_P)
-    return "".join(_LETTERS[i] for i in idx)
+    w = "".join(_LETTERS[i] for i in idx)
+    if rng.random() < 0.16:
+        w = w[0].upper() + w[1:]
+    return w
 
 
 def _resample(x: np.ndarray, y: np.ndarray, n: int):
