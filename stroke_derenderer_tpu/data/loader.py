@@ -14,6 +14,13 @@ import threading
 from typing import Callable, Iterator
 
 
+class _WorkerError:
+    """Queue envelope carrying a worker thread's exception to the consumer."""
+
+    def __init__(self, exc: BaseException):
+        self.exc = exc
+
+
 class PrefetchLoader:
     """Pulls batches from ``make_iterator()`` on ``num_workers`` threads.
 
@@ -39,6 +46,8 @@ class PrefetchLoader:
                 if self._stop.is_set():
                     return
                 self._queue.put(batch)
+        except BaseException as e:  # propagate to the consumer, don't die
+            self._queue.put(_WorkerError(e))
         finally:
             self._queue.put(None)
 
@@ -49,6 +58,11 @@ class PrefetchLoader:
             if item is None:
                 finished += 1
                 continue
+            if isinstance(item, _WorkerError):
+                # A silently-dead worker would otherwise end iteration
+                # early — training would "finish" having run few or zero
+                # steps. Surface the real failure instead.
+                raise RuntimeError("PrefetchLoader worker failed") from item.exc
             yield item
 
     def close(self):

@@ -374,7 +374,13 @@ def make_partitioned_glyph_sample(rng: np.random.Generator,
     from stroke_derenderer_tpu.pipeline.strokes import compute_partitions
 
     cfg = StrokesConfig()
+    if max_length < 12:
+        raise ValueError(
+            f"max_length={max_length} cannot fit even a 4-vertex stroke "
+            "target (2 tokens/vertex + EOS needs >= 12 with headroom); "
+            "raise seq_len")
     h = height
+    parts: list = []
     for _ in range(8):  # resample until the ink forms a single partition
         win = int(np.exp(rng.uniform(np.log(30), np.log(max_window))))
         # Token-budgeted sampling: targets must NEVER truncate — truncation
@@ -410,6 +416,11 @@ def make_partitioned_glyph_sample(rng: np.random.Generator,
         parts = compute_partitions(mask, cfg)
         if len(parts) == 1:
             break
+    if not parts:
+        raise RuntimeError(
+            "make_partitioned_glyph_sample: no ink partition after 8 "
+            f"resamples (max_length={max_length}, style={style!r}) — the "
+            "token budget is too small to draw any stroke")
     part = parts[0]
     (x1, y1), r, (x2, y2) = part["translate1"], part["ratio"], part["translate2"]
     crop_strokes = [((x - x1) * r + x2, (y - y1) * r + y2) for x, y in strokes]

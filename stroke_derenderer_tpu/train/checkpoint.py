@@ -15,13 +15,19 @@ import jax
 import numpy as np
 
 
-def save_checkpoint(ckpt_dir: str | Path, step: int, params, opt_state) -> Path:
-    """Write <dir>/step_<n>/ with params.msgpack, opt_state.msgpack, meta."""
+def save_checkpoint(ckpt_dir: str | Path, step: int, params, opt_state,
+                    extras: dict | None = None) -> Path:
+    """Write <dir>/step_<n>/ with params.msgpack, opt_state.msgpack, meta.
+    ``extras`` maps name -> pytree, each saved as extra_<name>.msgpack
+    (e.g. EMA shadow params)."""
     d = Path(ckpt_dir) / f"step_{step:08d}"
     tmp = d.with_suffix(".tmp")
     tmp.mkdir(parents=True, exist_ok=True)
     (tmp / "params.msgpack").write_bytes(flax.serialization.to_bytes(params))
     (tmp / "opt_state.msgpack").write_bytes(flax.serialization.to_bytes(opt_state))
+    for name, tree in (extras or {}).items():
+        (tmp / f"extra_{name}.msgpack").write_bytes(
+            flax.serialization.to_bytes(tree))
     (tmp / "meta.json").write_text(json.dumps({"step": step}))
     if d.exists():
         import shutil
@@ -39,8 +45,13 @@ def latest_checkpoint(ckpt_dir: str | Path) -> Path | None:
     return steps[-1] if steps else None
 
 
-def restore_checkpoint(ckpt_path: str | Path, params_template, opt_template):
-    """Restore (step, params, opt_state) from a checkpoint directory."""
+def restore_checkpoint(ckpt_path: str | Path, params_template, opt_template,
+                       extra_templates: dict | None = None):
+    """Restore (step, params, opt_state[, extras]) from a checkpoint dir.
+
+    When ``extra_templates`` is given, also returns {name: tree-or-None} —
+    None for extras the checkpoint predates (older format), so callers can
+    re-seed them (e.g. EMA restarts from the restored params)."""
     p = Path(ckpt_path)
     params = flax.serialization.from_bytes(
         params_template, (p / "params.msgpack").read_bytes())
@@ -48,4 +59,12 @@ def restore_checkpoint(ckpt_path: str | Path, params_template, opt_template):
         opt_template, (p / "opt_state.msgpack").read_bytes())
     step = json.loads((p / "meta.json").read_text())["step"]
     # msgpack restores numpy; put back on device lazily at first use.
-    return step, jax.tree.map(np.asarray, params), opt_state
+    params = jax.tree.map(np.asarray, params)
+    if extra_templates is None:
+        return step, params, opt_state
+    extras = {}
+    for name, template in extra_templates.items():
+        f = p / f"extra_{name}.msgpack"
+        extras[name] = (jax.tree.map(np.asarray, flax.serialization.from_bytes(
+            template, f.read_bytes())) if f.exists() else None)
+    return step, params, opt_state, extras

@@ -163,7 +163,8 @@ def train_captioner(config: StrokesConfig, steps: int, batch_size: int,
                     coord_sigma: float = 0.0,
                     sample_prob: float = 0.0,
                     glyph_style: str = "mixed", mesh=None,
-                    data_dir: str | Path | None = None):
+                    data_dir: str | Path | None = None,
+                    ema_decay: float = 0.0):
     encoder, decoder, enc_vars, dec_vars, _ = init_strokes_variables(config, seed)
     params = {"encoder": enc_vars["params"], "decoder": dec_vars["params"]}
     if init_from is not None:
@@ -185,12 +186,31 @@ def train_captioner(config: StrokesConfig, steps: int, batch_size: int,
 
     ckpt_dir = Path(out_dir) / "ckpt_captioner"
     last = latest_checkpoint(ckpt_dir)
+    ema_params = None
     if last is not None:
-        start_step, params, opt_state = restore_checkpoint(last, params, opt_state)
+        if ema_decay > 0.0:
+            start_step, params, opt_state, extras = restore_checkpoint(
+                last, params, opt_state, extra_templates={"ema": params})
+            ema_params = extras["ema"]  # None when the ckpt predates EMA
+        else:
+            start_step, params, opt_state = restore_checkpoint(
+                last, params, opt_state)
         log.info("resumed captioner from %s (step %d)", last, start_step)
+    if ema_decay > 0.0 and ema_params is None:
+        # Seed the shadow from the live params (fresh run, warm start, or
+        # a pre-EMA checkpoint).
+        ema_params = jax.tree.map(lambda x: np.array(x, copy=True), params)
 
     shard_state, put_batch, jit_step = _mesh_tools(mesh)
     params, opt_state = shard_state(params), shard_state(opt_state)
+    ema_step = None
+    if ema_params is not None:
+        ema_params = shard_state(ema_params)
+        d = float(ema_decay)
+        ema_step = jax.jit(
+            lambda e, p: jax.tree.map(
+                lambda a, b: a * d + b.astype(a.dtype) * (1.0 - d), e, p),
+            donate_argnums=(0,))
     step_fn = jit_step(make_captioner_train_step(
         encoder, decoder, tx, enc_image_size=config.encode_image_size,
         coord_sigma=coord_sigma, sample_prob=sample_prob,
@@ -228,17 +248,26 @@ def train_captioner(config: StrokesConfig, steps: int, batch_size: int,
         else:
             params, opt_state, loss = step_fn(params, opt_state, crops,
                                               tok_in, tok_out)
+        if ema_step is not None:
+            ema_params = ema_step(ema_params, params)
         if (i + 1) % log_every == 0:
             log.info("captioner step %d loss %.4f (%.2f steps/s)",
                      i + 1, float(loss), log_every / max(time.time() - t0, 1e-9))
             t0 = time.time()
         if (i + 1) % ckpt_every == 0 or i + 1 == steps:
             hp, ho = _host_copy(params), _host_copy(opt_state)
+            extras = ({"ema": _host_copy(ema_params)}
+                      if ema_params is not None else None)
             if jax.process_index() == 0:
-                save_checkpoint(ckpt_dir, i + 1, hp, ho)
+                save_checkpoint(ckpt_dir, i + 1, hp, ho, extras=extras)
     data.close()
 
-    params_host = _host_copy(params)
+    # EMA shadow weights generalize better than the last noisy SGD iterate;
+    # when enabled they ARE the exported model (raw params stay in the
+    # checkpoints for exact resume).
+    params_host = _host_copy(ema_params if ema_params is not None else params)
+    if ema_params is not None:
+        log.info("exporting EMA(decay=%g) shadow params", ema_decay)
     if jax.process_count() > 1 and jax.process_index() != 0:
         return params  # one writer per fleet (shared-fs safe)
     out = Path(out_dir)
@@ -277,6 +306,10 @@ def main(argv=None):
     ap.add_argument("--coord-smoothing", type=float, default=0.0,
                     help="Gaussian sigma (px) for coordinate-aware label "
                          "smoothing of vertex tokens (captioner)")
+    ap.add_argument("--ema", type=float, default=0.0, metavar="DECAY",
+                    help="exponential moving average of captioner params "
+                         "(e.g. 0.999); the EMA shadow is exported as the "
+                         "model and checkpointed for exact resume")
     ap.add_argument("--scheduled-sampling", type=float, default=0.0,
                     help="final probability of feeding the model's own "
                          "previous prediction instead of the gold token "
@@ -367,7 +400,7 @@ def main(argv=None):
                         coord_sigma=args.coord_smoothing,
                         sample_prob=args.scheduled_sampling,
                         glyph_style=args.glyph_style, mesh=mesh,
-                        data_dir=args.data)
+                        data_dir=args.data, ema_decay=args.ema)
     return 0
 
 

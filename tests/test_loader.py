@@ -43,3 +43,20 @@ def test_loader_overlaps_slow_producer():
     assert len(items) == 8
     # Everything was prefetched; draining is nearly instant.
     assert time.time() - t0 < 0.2
+
+
+def test_prefetch_loader_propagates_worker_exceptions():
+    """A dying worker must raise in the consumer, not silently end
+    iteration (a dead data thread made training 'complete' with 0 steps)."""
+    import pytest
+
+    from stroke_derenderer_tpu.data.loader import PrefetchLoader
+
+    def bad_iterator(worker_id):
+        yield 1
+        raise ValueError("synthetic data bug")
+
+    loader = PrefetchLoader(bad_iterator, num_workers=1)
+    with pytest.raises(RuntimeError, match="worker failed"):
+        list(loader)
+    loader.close()

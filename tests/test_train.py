@@ -205,3 +205,51 @@ def test_mesh_training_loss_parity():
     single = run(None)
     sharded = run(make_mesh(8))
     np.testing.assert_allclose(sharded, single, rtol=2e-5)
+
+
+def test_captioner_ema_export_and_resume(tmp_path):
+    """--ema: the EMA shadow is exported (not the raw last iterate), is
+    checkpointed as extra_ema.msgpack, and resume restores it exactly;
+    pre-EMA checkpoints re-seed the shadow from params instead of failing."""
+    from stroke_derenderer_tpu.train.checkpoint import (
+        latest_checkpoint, restore_checkpoint, save_checkpoint,
+    )
+    from stroke_derenderer_tpu.train.loop import train_captioner
+    from stroke_derenderer_tpu.weights import load_variables
+
+    cfg = StrokesConfig(encoder_arch="tiny", embed_dim=8, attention_dim=8,
+                        decoder_dim=8, image_size=56, encode_image_size=4,
+                        compute_dtype="float32")
+    out = tmp_path / "ema_run"
+    final = train_captioner(cfg, steps=4, batch_size=2, out_dir=out,
+                            seq_len=16, ckpt_every=2, log_every=100,
+                            glyph_mode="random",  # respects image_size=56
+                            ema_decay=0.9)
+    # Exported weights are the EMA shadow, not the raw final params.
+    _, _, enc_vars, dec_vars, _ = init_strokes_variables(cfg, 0)
+    exported = load_variables({"params": enc_vars["params"]},
+                              out / "strokes_encoder.msgpack")["params"]
+    raw_enc = jax.tree.map(np.asarray, final["encoder"])
+    diffs = jax.tree.map(lambda a, b: float(np.abs(a - b).max()),
+                         exported, raw_enc)
+    assert max(jax.tree.leaves(diffs)) > 0.0
+    # The checkpoint carries the shadow and restores it bit-exactly.
+    last = latest_checkpoint(out / "ckpt_captioner")
+    template = {"encoder": enc_vars["params"], "decoder": dec_vars["params"]}
+    import optax
+    # Mirror train_captioner's optimizer so the opt-state template matches.
+    opt_t = optax.adamw(optax.warmup_cosine_decay_schedule(
+        0.0, 3e-4, min(100, 4 // 10 + 1), 4)).init(template)
+    step, _, _, extras = restore_checkpoint(last, template, opt_t,
+                                            extra_templates={"ema": template})
+    assert step == 4 and extras["ema"] is not None
+    np.testing.assert_array_equal(
+        np.asarray(jax.tree.leaves(extras["ema"]["encoder"])[0]),
+        np.asarray(jax.tree.leaves(exported)[0]))
+    # A pre-EMA checkpoint (no extra_ema file) restores with ema=None.
+    old = tmp_path / "old_ckpt"
+    save_checkpoint(old, 7, template, opt_t)
+    step2, _, _, extras2 = restore_checkpoint(
+        latest_checkpoint(old), template, opt_t,
+        extra_templates={"ema": template})
+    assert step2 == 7 and extras2["ema"] is None
