@@ -25,7 +25,7 @@ def evaluate_full(models_dir, n: int = 50, seed: int = 0,
                   width: int = 1152, se_overrides: dict | None = None,
                   dense: bool = False, style: str = "smooth",
                   bin_overrides: dict | None = None,
-                  ruled: float = 0.0) -> dict:
+                  ruled: float = 0.0, binarizer_only: bool = False) -> dict:
     """Full metrics: binarization F1 on rendered lines, stroke DTW/chamfer on
     glyph-sized samples with known ground-truth polylines.
 
@@ -59,6 +59,12 @@ def evaluate_full(models_dir, n: int = 50, seed: int = 0,
         out = binarizer.binarize_image(img)
         pred = out[:, :, 0] > (255 * binarizer.config.bin_thr)
         f1s.append(binarization_f1(pred, mask > 0))
+
+    if binarizer_only:
+        # Fast path for scoring binarizer-only changes (e.g. a ruled-paper
+        # finetune): the stroke stage dominates eval wall-time and its
+        # numbers wouldn't move.
+        return {"n": n, "binarization_f1": float(np.mean(f1s))}
 
     # Stroke metrics across the glyph-group width spectrum: narrow isolated
     # glyphs through whole-line-wide groups (small resize ratios).
@@ -187,6 +193,9 @@ def main(argv=None):
     ap.add_argument("--ruled", type=float, default=0.0, metavar="P",
                     help="probability a binarization-F1 line renders on "
                          "ruled colored paper (distractor guide lines)")
+    ap.add_argument("--binarizer-only", action="store_true",
+                    help="report binarization F1 only (skips the stroke "
+                         "stage — fast scoring of binarizer-only changes)")
     ap.add_argument("--quant", choices=["none", "int8"], default=None,
                     help="dynamic int8 conv stacks (ops/quant.py) for both "
                          "models — quantized-quality measurement")
@@ -219,7 +228,8 @@ def main(argv=None):
                                    se_overrides=ov or None,
                                    dense=args.dense, style=args.style,
                                    bin_overrides=bov or None,
-                                   ruled=args.ruled)))
+                                   ruled=args.ruled,
+                                   binarizer_only=args.binarizer_only)))
     return 0
 
 

@@ -85,12 +85,47 @@ def _mesh_tools(mesh):
             lambda f: make_sharded_train_step(f, mesh))
 
 
+class _Ema:
+    """EMA shadow of the train params. The shadow generalizes better than
+    the last noisy SGD iterate, so when enabled it is what gets exported;
+    raw params stay in the checkpoints (plus the shadow as an ``extras``
+    entry) for exact resume."""
+
+    def __init__(self, decay: float, params, shard_state, restored=None):
+        # ``restored`` is the checkpointed shadow, or None to seed from the
+        # live params (fresh run, warm start, or a pre-EMA checkpoint).
+        self.decay = float(decay)
+        self.params = shard_state(
+            restored if restored is not None
+            else jax.tree.map(lambda x: np.array(x, copy=True), params))
+        d = self.decay
+        self._step = jax.jit(
+            lambda e, p: jax.tree.map(
+                lambda a, b: a * d + b.astype(a.dtype) * (1.0 - d), e, p),
+            donate_argnums=(0,))
+
+    def update(self, params):
+        self.params = self._step(self.params, params)
+
+
+def _restore_with_ema(last, params, opt_state, ema_decay):
+    """restore_checkpoint wrapper returning (step, params, opt, ema-or-None);
+    the ema slot is None when ema is off or the checkpoint predates it."""
+    if ema_decay > 0.0:
+        step, params, opt_state, extras = restore_checkpoint(
+            last, params, opt_state, extra_templates={"ema": params})
+        return step, params, opt_state, extras["ema"]
+    step, params, opt_state = restore_checkpoint(last, params, opt_state)
+    return step, params, opt_state, None
+
+
 def train_binarizer(config: BinarizerConfig, steps: int, batch_size: int,
                     out_dir: str | Path, lr: float = 3e-4, seed: int = 0,
                     ckpt_every: int = 200, log_every: int = 25, mesh=None,
                     data_dir: str | Path | None = None,
                     line_style: str = "mixed", ruled: float = 0.0,
-                    init_from: str | Path | None = None):
+                    init_from: str | Path | None = None,
+                    ema_decay: float = 0.0):
     model, variables = init_binarizer_variables(config, seed)
     params = variables["params"]
     if init_from is not None:
@@ -106,11 +141,15 @@ def train_binarizer(config: BinarizerConfig, steps: int, batch_size: int,
 
     ckpt_dir = Path(out_dir) / "ckpt_binarizer"
     last = latest_checkpoint(ckpt_dir)
+    ema_restored = None
     if last is not None:
-        start_step, params, opt_state = restore_checkpoint(last, params, opt_state)
+        start_step, params, opt_state, ema_restored = _restore_with_ema(
+            last, params, opt_state, ema_decay)
         log.info("resumed binarizer from %s (step %d)", last, start_step)
 
     shard_state, put_batch, jit_step = _mesh_tools(mesh)
+    ema = (_Ema(ema_decay, params, shard_state, ema_restored)
+           if ema_decay > 0.0 else None)
     params, opt_state = shard_state(params), shard_state(opt_state)
     step_fn = jit_step(make_binarizer_train_step(model, tx))
     from stroke_derenderer_tpu.data.loader import PrefetchLoader
@@ -132,17 +171,23 @@ def train_binarizer(config: BinarizerConfig, steps: int, batch_size: int,
             break
         params, opt_state, loss = step_fn(params, opt_state,
                                           put_batch(tiles), put_batch(masks))
+        if ema is not None:
+            ema.update(params)
         if (i + 1) % log_every == 0:
             log.info("binarizer step %d loss %.4f (%.2f steps/s)",
                      i + 1, float(loss), log_every / max(time.time() - t0, 1e-9))
             t0 = time.time()
         if (i + 1) % ckpt_every == 0 or i + 1 == steps:
             hp, ho = _host_copy(params), _host_copy(opt_state)
+            extras = ({"ema": _host_copy(ema.params)}
+                      if ema is not None else None)
             if jax.process_index() == 0:
-                save_checkpoint(ckpt_dir, i + 1, hp, ho)
+                save_checkpoint(ckpt_dir, i + 1, hp, ho, extras=extras)
     data.close()
 
-    params_host = _host_copy(params)
+    if ema is not None:
+        log.info("exporting EMA(decay=%g) shadow params", ema.decay)
+    params_host = _host_copy(ema.params if ema is not None else params)
     if jax.process_count() > 1 and jax.process_index() != 0:
         return params  # one writer per fleet (shared-fs safe)
     out = Path(out_dir)
@@ -186,31 +231,16 @@ def train_captioner(config: StrokesConfig, steps: int, batch_size: int,
 
     ckpt_dir = Path(out_dir) / "ckpt_captioner"
     last = latest_checkpoint(ckpt_dir)
-    ema_params = None
+    ema_restored = None
     if last is not None:
-        if ema_decay > 0.0:
-            start_step, params, opt_state, extras = restore_checkpoint(
-                last, params, opt_state, extra_templates={"ema": params})
-            ema_params = extras["ema"]  # None when the ckpt predates EMA
-        else:
-            start_step, params, opt_state = restore_checkpoint(
-                last, params, opt_state)
+        start_step, params, opt_state, ema_restored = _restore_with_ema(
+            last, params, opt_state, ema_decay)
         log.info("resumed captioner from %s (step %d)", last, start_step)
-    if ema_decay > 0.0 and ema_params is None:
-        # Seed the shadow from the live params (fresh run, warm start, or
-        # a pre-EMA checkpoint).
-        ema_params = jax.tree.map(lambda x: np.array(x, copy=True), params)
 
     shard_state, put_batch, jit_step = _mesh_tools(mesh)
+    ema = (_Ema(ema_decay, params, shard_state, ema_restored)
+           if ema_decay > 0.0 else None)
     params, opt_state = shard_state(params), shard_state(opt_state)
-    ema_step = None
-    if ema_params is not None:
-        ema_params = shard_state(ema_params)
-        d = float(ema_decay)
-        ema_step = jax.jit(
-            lambda e, p: jax.tree.map(
-                lambda a, b: a * d + b.astype(a.dtype) * (1.0 - d), e, p),
-            donate_argnums=(0,))
     step_fn = jit_step(make_captioner_train_step(
         encoder, decoder, tx, enc_image_size=config.encode_image_size,
         coord_sigma=coord_sigma, sample_prob=sample_prob,
@@ -248,26 +278,23 @@ def train_captioner(config: StrokesConfig, steps: int, batch_size: int,
         else:
             params, opt_state, loss = step_fn(params, opt_state, crops,
                                               tok_in, tok_out)
-        if ema_step is not None:
-            ema_params = ema_step(ema_params, params)
+        if ema is not None:
+            ema.update(params)
         if (i + 1) % log_every == 0:
             log.info("captioner step %d loss %.4f (%.2f steps/s)",
                      i + 1, float(loss), log_every / max(time.time() - t0, 1e-9))
             t0 = time.time()
         if (i + 1) % ckpt_every == 0 or i + 1 == steps:
             hp, ho = _host_copy(params), _host_copy(opt_state)
-            extras = ({"ema": _host_copy(ema_params)}
-                      if ema_params is not None else None)
+            extras = ({"ema": _host_copy(ema.params)}
+                      if ema is not None else None)
             if jax.process_index() == 0:
                 save_checkpoint(ckpt_dir, i + 1, hp, ho, extras=extras)
     data.close()
 
-    # EMA shadow weights generalize better than the last noisy SGD iterate;
-    # when enabled they ARE the exported model (raw params stay in the
-    # checkpoints for exact resume).
-    params_host = _host_copy(ema_params if ema_params is not None else params)
-    if ema_params is not None:
-        log.info("exporting EMA(decay=%g) shadow params", ema_decay)
+    if ema is not None:
+        log.info("exporting EMA(decay=%g) shadow params", ema.decay)
+    params_host = _host_copy(ema.params if ema is not None else params)
     if jax.process_count() > 1 and jax.process_index() != 0:
         return params  # one writer per fleet (shared-fs safe)
     out = Path(out_dir)
@@ -307,7 +334,7 @@ def main(argv=None):
                     help="Gaussian sigma (px) for coordinate-aware label "
                          "smoothing of vertex tokens (captioner)")
     ap.add_argument("--ema", type=float, default=0.0, metavar="DECAY",
-                    help="exponential moving average of captioner params "
+                    help="exponential moving average of the trained params "
                          "(e.g. 0.999); the EMA shadow is exported as the "
                          "model and checkpointed for exact resume")
     ap.add_argument("--scheduled-sampling", type=float, default=0.0,
@@ -391,7 +418,8 @@ def main(argv=None):
                         args.steps, args.batch,
                         args.out, args.lr, seed, mesh=mesh,
                         data_dir=args.data, line_style=args.line_style,
-                        ruled=args.ruled, init_from=args.init_from)
+                        ruled=args.ruled, init_from=args.init_from,
+                        ema_decay=args.ema)
     if args.model in ("captioner", "both"):
         train_captioner(StrokesConfig.from_json(se_cfg_json, **se_kw),
                         args.steps, args.batch,

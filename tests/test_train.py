@@ -207,6 +207,28 @@ def test_mesh_training_loss_parity():
     np.testing.assert_allclose(sharded, single, rtol=2e-5)
 
 
+def test_binarizer_ema_export(tmp_path):
+    """--ema on the binarizer: the exported weights are the EMA shadow and
+    the checkpoint carries it as extra_ema.msgpack."""
+    from stroke_derenderer_tpu.config import BinarizerConfig
+    from stroke_derenderer_tpu.train.loop import train_binarizer
+    from stroke_derenderer_tpu.weights import load_variables
+    from stroke_derenderer_tpu.weights.store import init_binarizer_variables
+
+    cfg = BinarizerConfig(features=(8,), bottleneck=16)
+    final = train_binarizer(cfg, steps=2, batch_size=2, out_dir=tmp_path,
+                            ckpt_every=2, log_every=100, ema_decay=0.9)
+    assert (tmp_path / "ckpt_binarizer" / "step_00000002"
+            / "extra_ema.msgpack").exists()
+    _, variables = init_binarizer_variables(cfg, 0)
+    exported = load_variables({"params": variables["params"]},
+                              tmp_path / "binarizer.msgpack")["params"]
+    raw = jax.tree.map(np.asarray, final)
+    diffs = jax.tree.map(lambda a, b: float(np.abs(a - b).max()),
+                         exported, raw)
+    assert max(jax.tree.leaves(diffs)) > 0.0
+
+
 def test_captioner_ema_export_and_resume(tmp_path):
     """--ema: the EMA shadow is exported (not the raw last iterate), is
     checkpointed as extra_ema.msgpack, and resume restores it exactly;
