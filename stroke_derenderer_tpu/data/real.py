@@ -100,6 +100,23 @@ def load_pair(png: Path, strokes_json: Path, height: int = 128,
 
 # ----------------------------------------------------------- binarizer side
 
+# Preprocessed pools are cached per (dataset, config): every prefetch
+# worker calls the batch generators, and without the cache each worker
+# would re-decode/tile/partition the whole corpus and hold its own copy
+# (gigabytes duplicated for non-trivial datasets).
+import threading
+
+_pool_lock = threading.Lock()
+_pool_cache: dict = {}
+
+
+def _cached_pool(key, builder):
+    with _pool_lock:  # second worker blocks instead of duplicating work
+        if key not in _pool_cache:
+            _pool_cache[key] = builder()
+        return _pool_cache[key]
+
+
 def _tile_pool(pairs, config: BinarizerConfig):
     """All (photo_tile, mask_tile) pairs across the dataset, tiled exactly
     like inference (plan_tiles/cut_tiles_np)."""
@@ -125,7 +142,9 @@ def real_tile_batches(data_dir: str | Path, rng: np.random.Generator,
     pairs = discover_pairs(data_dir)
     if not pairs:
         raise FileNotFoundError(f"no (png, _STROKES.json) pairs in {data_dir}")
-    x, y = _tile_pool(pairs, config)
+    key = ("tiles", str(Path(data_dir).resolve()),
+           json.dumps(config.export_dict(), sort_keys=True))
+    x, y = _cached_pool(key, lambda: _tile_pool(pairs, config))
     i = 0
     while n_batches is None or i < n_batches:
         idx = rng.integers(0, x.shape[0], size=batch_size)
@@ -152,14 +171,17 @@ def _assign_strokes(strokes, t1, ratio, t2, image_size: int, tol: float = 2.0):
 def glyph_samples_from_pair(png: Path, strokes_json: Path,
                             config: StrokesConfig, max_length: int,
                             height: int = 128):
-    """All (model_input (S,S,3) f32, tokens (max_length,) i32) glyph samples
-    of one labeled line, built through the inference partition pipeline.
-    Glyphs whose token string would truncate are skipped."""
+    """All (partition_index, model_input (S,S,3) f32, tokens (max_length,)
+    i32) glyph samples of one labeled line, built through the inference
+    partition pipeline. Glyphs whose token string would truncate are
+    skipped — ``partition_index`` records which compute_partitions entry
+    each surviving sample came from (samples are NOT positionally aligned
+    with the partition list)."""
     from stroke_derenderer_tpu.pipeline.strokes import compute_partitions
 
     _, mask, strokes = load_pair(png, strokes_json, height)
     samples = []
-    for part in compute_partitions(mask, config):
+    for pi, part in enumerate(compute_partitions(mask, config)):
         crop_strokes = _assign_strokes(
             strokes, part["translate1"], part["ratio"], part["translate2"],
             config.image_size)
@@ -167,11 +189,16 @@ def glyph_samples_from_pair(png: Path, strokes_json: Path,
             continue
         n_tokens = sum(2 * len(s[0]) for s in crop_strokes) \
             + len(crop_strokes)  # BOS separators + EOS
-        if n_tokens > max_length:
-            continue  # never truncate targets (early-EOS trap)
+        # The teacher target is tokens[:max_length - 1], so the EOS must
+        # land at index <= max_length - 2: at n_tokens == max_length the
+        # EOS would be sliced off and the model would train on a
+        # never-terminating target (the early-EOS trap this skip exists
+        # to prevent).
+        if n_tokens > max_length - 1:
+            continue  # never truncate targets
         toks = tokens_from_strokes(crop_strokes, config.image_size,
                                    max_length)
-        samples.append((part["image_input"], toks))
+        samples.append((pi, part["image_input"], toks))
     return samples
 
 
@@ -187,21 +214,35 @@ def real_glyph_batches(data_dir: str | Path, rng: np.random.Generator,
     pairs = discover_pairs(data_dir)
     if not pairs:
         raise FileNotFoundError(f"no (png, _STROKES.json) pairs in {data_dir}")
-    pool = []
-    skipped = 0
-    for png, sj in pairs:
-        got = glyph_samples_from_pair(png, sj, config, seq_len + 1, height)
-        pool.extend(got)
-        skipped += 0 if got else 1
-    if not pool:
-        raise ValueError(
-            f"{data_dir}: no usable glyphs (every partition was empty or "
-            f"exceeded the {seq_len + 1}-token horizon; raise --seq-len)")
-    crops_all = np.stack([c for c, _ in pool])
-    toks_all = np.stack([t for _, t in pool])
+    def _glyph_pool():
+        pool = []
+        skipped = 0
+        for png, sj in pairs:
+            got = glyph_samples_from_pair(png, sj, config, seq_len + 1,
+                                          height)
+            pool.extend(got)
+            skipped += 0 if got else 1
+        if skipped:
+            from stroke_derenderer_tpu.utils import get_logger
+            get_logger("data.real").warning(
+                "%d/%d labeled lines contributed no glyphs (empty "
+                "partitions or token strings over the %d-token horizon — "
+                "raise --seq-len to include them)",
+                skipped, len(pairs), seq_len + 1)
+        if not pool:
+            raise ValueError(
+                f"{data_dir}: no usable glyphs (every partition was empty "
+                f"or exceeded the {seq_len + 1}-token horizon; raise "
+                "--seq-len)")
+        return (np.stack([c for _, c, _t in pool]),
+                np.stack([t for _, _c, t in pool]))
+
+    key = ("glyphs", str(Path(data_dir).resolve()), seq_len, height,
+           json.dumps(config.export_dict(), sort_keys=True))
+    crops_all, toks_all = _cached_pool(key, _glyph_pool)
     i = 0
     while n_batches is None or i < n_batches:
-        idx = rng.integers(0, len(pool), size=batch_size)
+        idx = rng.integers(0, len(crops_all), size=batch_size)
         seqs = toks_all[idx]
         tok_in = np.concatenate(
             [np.full((batch_size, 1), BOS, np.int32), seqs[:, :seq_len - 1]],

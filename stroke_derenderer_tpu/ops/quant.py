@@ -6,9 +6,14 @@ the MXU's int8 rate is 2x its bf16 rate (394 vs 197 TOPS), so this module
 provides drop-in int8 variants of the two ops that carry all conv FLOPs:
 
   * :func:`int8_conv_general_dilated` — injected into ``flax.linen.Conv``
-    via its ``conv_general_dilated`` field,
-  * :func:`int8_dot_general` — injected into ``flax.linen.Dense`` via its
-    ``dot_general`` field.
+    via its ``conv_general_dilated`` field (this is the path the UNet and
+    encoder use under ``quant="int8"``),
+  * :func:`int8_dot_general` — the matching ``flax.linen.Dense``
+    ``dot_general`` injection, available via :func:`dot_injection` but
+    NOT wired into any shipped model: the only Dense layers (decoder
+    gates/attention/projection) carry negligible FLOPs and are the
+    accuracy-sensitive part of the pipeline, so they deliberately stay
+    bf16/f32.
 
 Scheme: **dynamic symmetric quantization**. Weights are quantized
 per-output-channel and activations per-tensor, with scales computed inside

@@ -20,9 +20,15 @@ def save_checkpoint(ckpt_dir: str | Path, step: int, params, opt_state,
     """Write <dir>/step_<n>/ with params.msgpack, opt_state.msgpack, meta.
     ``extras`` maps name -> pytree, each saved as extra_<name>.msgpack
     (e.g. EMA shadow params)."""
+    import shutil
     d = Path(ckpt_dir) / f"step_{step:08d}"
     tmp = d.with_suffix(".tmp")
-    tmp.mkdir(parents=True, exist_ok=True)
+    if tmp.exists():
+        # A crashed save leaves a stale tmp dir; reusing it would leak its
+        # files (e.g. an extra_ema.msgpack from a previous --ema run) into
+        # this checkpoint.
+        shutil.rmtree(tmp)
+    tmp.mkdir(parents=True)
     (tmp / "params.msgpack").write_bytes(flax.serialization.to_bytes(params))
     (tmp / "opt_state.msgpack").write_bytes(flax.serialization.to_bytes(opt_state))
     for name, tree in (extras or {}).items():
@@ -30,7 +36,6 @@ def save_checkpoint(ckpt_dir: str | Path, step: int, params, opt_state,
             flax.serialization.to_bytes(tree))
     (tmp / "meta.json").write_text(json.dumps({"step": step}))
     if d.exists():
-        import shutil
         shutil.rmtree(d)
     tmp.rename(d)
     return d
@@ -41,7 +46,8 @@ def latest_checkpoint(ckpt_dir: str | Path) -> Path | None:
     if not d.exists():
         return None
     steps = sorted(p for p in d.iterdir()
-                   if p.is_dir() and p.name.startswith("step_"))
+                   if p.is_dir() and p.name.startswith("step_")
+                   and not p.name.endswith(".tmp"))  # skip torn writes
     return steps[-1] if steps else None
 
 

@@ -99,13 +99,21 @@ class _Ema:
             restored if restored is not None
             else jax.tree.map(lambda x: np.array(x, copy=True), params))
         d = self.decay
-        self._step = jax.jit(
-            lambda e, p: jax.tree.map(
-                lambda a, b: a * d + b.astype(a.dtype) * (1.0 - d), e, p),
-            donate_argnums=(0,))
 
-    def update(self, params):
-        self.params = self._step(self.params, params)
+        def _apply(ema_tree, params_tree, step):
+            # Decay warmup min(d, (1+t)/(10+t)): without it a fresh run's
+            # export keeps d^steps weight of the random init (37% at
+            # d=0.999 / 1k steps). ``step`` is the GLOBAL step so resumes
+            # continue the schedule.
+            dt = jnp.minimum(d, (1.0 + step) / (10.0 + step))
+            return jax.tree.map(
+                lambda a, b: a * dt + b.astype(a.dtype) * (1.0 - dt),
+                ema_tree, params_tree)
+
+        self._step = jax.jit(_apply, donate_argnums=(0,))
+
+    def update(self, params, step: int):
+        self.params = self._step(self.params, params, float(step))
 
 
 def _restore_with_ema(last, params, opt_state, ema_decay):
@@ -166,24 +174,28 @@ def train_binarizer(config: BinarizerConfig, steps: int, batch_size: int,
     data = PrefetchLoader(make, num_workers=2)
 
     t0 = time.time()
-    for i, (tiles, masks) in enumerate(data, start=start_step):
-        if i >= steps:
-            break
-        params, opt_state, loss = step_fn(params, opt_state,
-                                          put_batch(tiles), put_batch(masks))
-        if ema is not None:
-            ema.update(params)
-        if (i + 1) % log_every == 0:
-            log.info("binarizer step %d loss %.4f (%.2f steps/s)",
-                     i + 1, float(loss), log_every / max(time.time() - t0, 1e-9))
-            t0 = time.time()
-        if (i + 1) % ckpt_every == 0 or i + 1 == steps:
-            hp, ho = _host_copy(params), _host_copy(opt_state)
-            extras = ({"ema": _host_copy(ema.params)}
-                      if ema is not None else None)
-            if jax.process_index() == 0:
-                save_checkpoint(ckpt_dir, i + 1, hp, ho, extras=extras)
-    data.close()
+    try:  # close() must also run when a worker or the step raises, or the
+        # surviving worker thread (and its data pool) leaks
+        for i, (tiles, masks) in enumerate(data, start=start_step):
+            if i >= steps:
+                break
+            params, opt_state, loss = step_fn(
+                params, opt_state, put_batch(tiles), put_batch(masks))
+            if ema is not None:
+                ema.update(params, i + 1)
+            if (i + 1) % log_every == 0:
+                log.info("binarizer step %d loss %.4f (%.2f steps/s)",
+                         i + 1, float(loss),
+                         log_every / max(time.time() - t0, 1e-9))
+                t0 = time.time()
+            if (i + 1) % ckpt_every == 0 or i + 1 == steps:
+                hp, ho = _host_copy(params), _host_copy(opt_state)
+                extras = ({"ema": _host_copy(ema.params)}
+                          if ema is not None else None)
+                if jax.process_index() == 0:
+                    save_checkpoint(ckpt_dir, i + 1, hp, ho, extras=extras)
+    finally:
+        data.close()
 
     if ema is not None:
         log.info("exporting EMA(decay=%g) shadow params", ema.decay)
@@ -266,31 +278,35 @@ def train_captioner(config: StrokesConfig, steps: int, batch_size: int,
     data = PrefetchLoader(make, num_workers=2)
 
     t0 = time.time()
-    for i, (crops, tok_in, tok_out) in enumerate(data, start=start_step):
-        if i >= steps:
-            break
-        crops, tok_in, tok_out = (put_batch(crops), put_batch(tok_in),
-                                  put_batch(tok_out))
-        if sample_prob > 0:
-            params, opt_state, loss = step_fn(params, opt_state, crops,
-                                              tok_in, tok_out,
-                                              jnp.int32(i))
-        else:
-            params, opt_state, loss = step_fn(params, opt_state, crops,
-                                              tok_in, tok_out)
-        if ema is not None:
-            ema.update(params)
-        if (i + 1) % log_every == 0:
-            log.info("captioner step %d loss %.4f (%.2f steps/s)",
-                     i + 1, float(loss), log_every / max(time.time() - t0, 1e-9))
-            t0 = time.time()
-        if (i + 1) % ckpt_every == 0 or i + 1 == steps:
-            hp, ho = _host_copy(params), _host_copy(opt_state)
-            extras = ({"ema": _host_copy(ema.params)}
-                      if ema is not None else None)
-            if jax.process_index() == 0:
-                save_checkpoint(ckpt_dir, i + 1, hp, ho, extras=extras)
-    data.close()
+    try:  # close() must also run when a worker or the step raises (see
+        # train_binarizer)
+        for i, (crops, tok_in, tok_out) in enumerate(data, start=start_step):
+            if i >= steps:
+                break
+            crops, tok_in, tok_out = (put_batch(crops), put_batch(tok_in),
+                                      put_batch(tok_out))
+            if sample_prob > 0:
+                params, opt_state, loss = step_fn(params, opt_state, crops,
+                                                  tok_in, tok_out,
+                                                  jnp.int32(i))
+            else:
+                params, opt_state, loss = step_fn(params, opt_state, crops,
+                                                  tok_in, tok_out)
+            if ema is not None:
+                ema.update(params, i + 1)
+            if (i + 1) % log_every == 0:
+                log.info("captioner step %d loss %.4f (%.2f steps/s)",
+                         i + 1, float(loss),
+                         log_every / max(time.time() - t0, 1e-9))
+                t0 = time.time()
+            if (i + 1) % ckpt_every == 0 or i + 1 == steps:
+                hp, ho = _host_copy(params), _host_copy(opt_state)
+                extras = ({"ema": _host_copy(ema.params)}
+                          if ema is not None else None)
+                if jax.process_index() == 0:
+                    save_checkpoint(ckpt_dir, i + 1, hp, ho, extras=extras)
+    finally:
+        data.close()
 
     if ema is not None:
         log.info("exporting EMA(decay=%g) shadow params", ema.decay)

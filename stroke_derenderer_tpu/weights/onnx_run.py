@@ -42,6 +42,13 @@ def _execute(g, env: dict) -> dict:
             pads = list(a.get("pads", [0, 0, 0, 0]))
             strides = tuple(a.get("strides", [1, 1]))
             assert pads[:2] == pads[2:], f"asymmetric pads {pads}"
+            # Unsupported attributes must fail loudly like unknown ops do —
+            # silently computing a dense dilation-1 conv would corrupt the
+            # independent-executor check this module exists for.
+            dil = list(a.get("dilations", [1, 1]))
+            assert dil == [1] * len(dil), f"dilations {dil} unsupported"
+            assert int(a.get("group", 1)) == 1, \
+                f"group={a.get('group')} unsupported"
             fn = F.conv2d if t == "Conv" else F.conv_transpose2d
             out = fn(ins[0], ins[1], ins[2] if len(ins) > 2 else None,
                      stride=strides, padding=tuple(pads[:2]))
@@ -67,6 +74,7 @@ def _execute(g, env: dict) -> dict:
         elif t == "Concat":
             out = torch.cat([i for i in ins], dim=int(a["axis"]))
         elif t == "Gemm":
+            assert not int(a.get("transA", 0)), "Gemm transA unsupported"
             w = ins[1].t() if int(a.get("transB", 0)) else ins[1]
             out = a.get("alpha", 1.0) * (ins[0] @ w)
             if len(ins) > 2:

@@ -100,7 +100,11 @@ def test_glyph_samples_roundtrip(dataset):
     parts = compute_partitions(mask, cfg)
     assert len(samples) <= len(parts)
     recovered = []
-    for part, (model_in, toks) in zip(parts, samples):
+    for pi, model_in, toks in samples:
+        # Samples carry their partition index — the sample list legally
+        # skips partitions (empty or over-budget), so positional zip
+        # against ``parts`` would misalign the inverse transforms.
+        part = parts[pi]
         assert model_in.shape == (224, 224, 3)
         assert toks.dtype == np.int32 and EOS in toks
         (x1, y1), r, (x2, y2) = (part["translate1"], part["ratio"],
@@ -125,6 +129,10 @@ def test_real_glyph_batches_contract(dataset):
     assert (tok_in[:, 0] == BOS).all()
     np.testing.assert_array_equal(tok_in[:, 1:], tok_out[:, :-1])
     assert (tok_out != PAD).any(axis=1).all()  # no empty targets
+    # Every target must terminate: a glyph of exactly seq_len+1 tokens once
+    # passed the skip guard and had its EOS sliced off (the early-EOS trap).
+    from stroke_derenderer_tpu.config import EOS
+    assert (tok_out == EOS).any(axis=1).all(), "EOS-less target row"
 
 
 def test_real_glyph_batches_no_truncation(dataset):

@@ -207,6 +207,28 @@ def test_mesh_training_loss_parity():
     np.testing.assert_allclose(sharded, single, rtol=2e-5)
 
 
+def test_checkpoint_stale_tmp_does_not_leak_extras(tmp_path):
+    """A crashed save leaves step_<n>.tmp behind; a later save of the same
+    step without extras must not inherit the stale extra_*.msgpack, and
+    latest_checkpoint must never pick up a torn .tmp dir."""
+    from stroke_derenderer_tpu.train.checkpoint import (
+        latest_checkpoint, restore_checkpoint, save_checkpoint,
+    )
+
+    params = {"w": np.ones((2,), np.float32)}
+    opt = {"m": np.zeros((2,), np.float32)}
+    stale = tmp_path / "step_00000005.tmp"
+    stale.mkdir()
+    (stale / "extra_ema.msgpack").write_bytes(b"stale")
+    assert latest_checkpoint(tmp_path) is None  # torn write is invisible
+    save_checkpoint(tmp_path, 5, params, opt)
+    ckpt = latest_checkpoint(tmp_path)
+    assert ckpt is not None and not (ckpt / "extra_ema.msgpack").exists()
+    _, _, _, extras = restore_checkpoint(ckpt, params, opt,
+                                         extra_templates={"ema": params})
+    assert extras["ema"] is None
+
+
 def test_binarizer_ema_export(tmp_path):
     """--ema on the binarizer: the exported weights are the EMA shadow and
     the checkpoint carries it as extra_ema.msgpack."""
