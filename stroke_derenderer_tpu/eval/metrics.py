@@ -22,10 +22,9 @@ def binarization_f1(pred: np.ndarray, target: np.ndarray) -> float:
     return float(2 * tp / denom) if denom else 1.0
 
 
-def _dtw(a: np.ndarray, b: np.ndarray) -> float:
-    """Dynamic-time-warping distance between two polylines (N,2)/(M,2),
-    euclidean local cost, O(N*M) vectorized over the anti-diagonal-free
-    row recurrence."""
+def _dtw_loop(a: np.ndarray, b: np.ndarray) -> float:
+    """Scalar-loop DTW reference (O(N*M) Python) — kept as the test oracle
+    for the vectorized `_dtw` below (tests/test_metrics.py)."""
     n, m = len(a), len(b)
     if n == 0 or m == 0:
         return float("inf")
@@ -42,10 +41,73 @@ def _dtw(a: np.ndarray, b: np.ndarray) -> float:
     return float(acc[-1] / (n + m))  # path-length-normalized
 
 
+def _dtw(a: np.ndarray, b: np.ndarray) -> float:
+    """Dynamic-time-warping distance between two polylines (N,2)/(M,2),
+    euclidean local cost, path-length-normalized.
+
+    Vectorized over anti-diagonals: the DTW recurrence
+    ``D[i,j] = c[i,j] + min(D[i-1,j], D[i,j-1], D[i-1,j-1])`` has no
+    dependence *within* an anti-diagonal (i+j = const), so each diagonal is
+    one fused numpy min over slices of the padded table — O(N+M) numpy calls
+    instead of O(N*M) Python iterations (VERDICT r2 item 6: the scalar loop
+    capped eval set sizes)."""
+    n, m = len(a), len(b)
+    if n == 0 or m == 0:
+        return float("inf")
+    cost = np.linalg.norm(a[:, None, :] - b[None, :, :], axis=-1)
+    # Padded table: D[0,0]=0, inf borders; D[i,j] (1-based) = best cost of
+    # aligning a[:i] with b[:j]. Identical to the classic row recurrence.
+    D = np.full((n + 1, m + 1), np.inf)
+    D[0, 0] = 0.0
+    for d in range(2, n + m + 1):  # d = i + j over the padded coordinates
+        i = np.arange(max(1, d - m), min(n, d - 1) + 1)
+        j = d - i
+        D[i, j] = cost[i - 1, j - 1] + np.minimum(
+            np.minimum(D[i - 1, j], D[i, j - 1]), D[i - 1, j - 1])
+    return float(D[n, m] / (n + m))
+
+
+def _dtw_pairwise(pred: list, tgt: list) -> np.ndarray:
+    """(P, T) matrix of orientation-insensitive path-normalized DTW between
+    every (pred, target) polyline pair, computed in ONE batched
+    anti-diagonal DP over all 2*P*T pairs — the per-diagonal numpy overhead
+    that made per-pair `_dtw` slow at stroke sizes amortizes across the
+    batch. Padding is causal-safe: DTW's table is lower-triangular-causal,
+    so cells beyond a pair's real (n, m) endpoint never feed the value read
+    at (n, m)."""
+    P, T = len(pred), len(tgt)
+    ns = np.array([len(p) for p in pred])
+    ms = np.array([len(t) for t in tgt])
+    N, M = int(ns.max()), int(ms.max())
+    A = np.zeros((2 * P, N, 2))
+    for i, p in enumerate(pred):
+        A[i, :len(p)] = p
+        A[P + i, :len(p)] = p[::-1]
+    B = np.zeros((T, M, 2))
+    for j, t in enumerate(tgt):
+        B[j, :len(t)] = t
+    cost = np.linalg.norm(
+        A[:, None, :, None, :] - B[None, :, None, :, :], axis=-1
+    ).reshape(2 * P * T, N, M)
+    D = np.full((2 * P * T, N + 1, M + 1), np.inf)
+    D[:, 0, 0] = 0.0
+    for d in range(2, N + M + 1):
+        i = np.arange(max(1, d - M), min(N, d - 1) + 1)
+        j = d - i
+        D[:, i, j] = cost[:, i - 1, j - 1] + np.minimum(
+            np.minimum(D[:, i - 1, j], D[:, i, j - 1]), D[:, i - 1, j - 1])
+    D = D.reshape(2, P, T, N + 1, M + 1)
+    ii = np.arange(P)[:, None]
+    jj = np.arange(T)[None, :]
+    ends = D[:, ii, jj, ns[:, None], ms[None, :]]  # (2, P, T)
+    return ends.min(axis=0) / (ns[:, None] + ms[None, :])
+
+
 def stroke_dtw(pred_strokes, target_strokes) -> float:
     """Mean DTW between greedily matched stroke pairs plus an unmatched
     penalty. Strokes are (X, Y) tuples; orientation-insensitive (takes the
-    better of forward/reversed)."""
+    better of forward/reversed). All pairwise DTWs come from one batched DP
+    (`_dtw_pairwise`); greedy matching and penalties read the matrix."""
     pred = [np.stack([np.asarray(x), np.asarray(y)], -1)
             for x, y in pred_strokes if np.asarray(x).size]
     tgt = [np.stack([np.asarray(x), np.asarray(y)], -1)
@@ -54,30 +116,27 @@ def stroke_dtw(pred_strokes, target_strokes) -> float:
         return 0.0
     if not pred or not tgt:
         return float("inf")
-    def best_dtw(p, candidates):
-        return min(min(_dtw(p, t), _dtw(p[::-1], t)) for t in candidates)
+    mat = _dtw_pairwise(pred, tgt)  # (P, T)
 
     used = np.zeros(len(tgt), bool)
     dists = []
     leftovers = []
-    for p in pred:
-        best, best_j = float("inf"), -1
-        for j, t in enumerate(tgt):
-            if used[j]:
-                continue
-            d = min(_dtw(p, t), _dtw(p[::-1], t))
-            if d < best:
-                best, best_j = d, j
-        if best_j >= 0:
-            used[best_j] = True
-            dists.append(best)
+    for i in range(len(pred)):
+        row = np.where(used, np.inf, mat[i])
+        j = int(row.argmin())  # first-min tie-break, same as the scalar scan
+        if np.isfinite(row[j]):
+            used[j] = True
+            dists.append(float(row[j]))
         else:
-            leftovers.append(p)
+            leftovers.append(i)
     # Unmatched strokes (spurious predictions or missed targets) are charged
     # their best-possible DTW against the *whole* other set — how far the
-    # extra/missing stroke sits from anything real.
-    penalties = [best_dtw(p, tgt) for p in leftovers]
-    penalties += [best_dtw(t, pred) for j, t in enumerate(tgt) if not used[j]]
+    # extra/missing stroke sits from anything real. (Reversing a target
+    # equals reversing the prediction — DTW is path-reversal symmetric — so
+    # the same orientation-min matrix serves both directions.)
+    penalties = [float(mat[i].min()) for i in leftovers]
+    penalties += [float(mat[:, j].min())
+                  for j in range(len(tgt)) if not used[j]]
     total = dists + penalties
     return float(np.mean(total)) if total else float("inf")
 
