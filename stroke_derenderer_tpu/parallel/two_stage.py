@@ -20,15 +20,64 @@ import numpy as np
 from stroke_derenderer_tpu.pipeline import Binarizer, StrokeEstimator
 
 
+def _split_mesh(mesh):
+    """Split a ('dp', 'tp') mesh into two stage sub-meshes along dp.
+
+    Stage A gets the first half of the dp rows, stage B the rest, each tp
+    group kept intact (collectives stay within a stage's ICI neighborhood).
+    A mesh that cannot split (dp == 1) is shared by both stages — correct,
+    just without spatial stage separation."""
+    from jax.sharding import Mesh
+
+    dp = int(mesh.shape["dp"])
+    if dp < 2:
+        return mesh, mesh
+    devs = np.asarray(mesh.devices)          # (dp, tp)
+    half = dp // 2
+    names = tuple(mesh.axis_names)
+    return Mesh(devs[:half], names), Mesh(devs[half:], names)
+
+
+def _rehome(pipeline, submesh) -> None:
+    """Re-pin a pipeline (Binarizer or StrokeEstimator) onto a stage
+    sub-mesh: params re-replicated over the sub-mesh, dp extent updated so
+    batch padding/sharding (``_shard_batch``) targets the right devices."""
+    from stroke_derenderer_tpu.parallel import replicate
+
+    dst = replicate(submesh)
+    pipeline.mesh = submesh
+    pipeline._dp = int(submesh.shape["dp"])
+    if hasattr(pipeline, "variables"):       # Binarizer
+        pipeline.variables = jax.device_put(pipeline.variables, dst)
+    else:                                    # StrokeEstimator
+        pipeline.enc_vars = jax.device_put(pipeline.enc_vars, dst)
+        pipeline.dec_vars = jax.device_put(pipeline.dec_vars, dst)
+        if pipeline.proj_vars is not None:
+            pipeline.proj_vars = jax.device_put(pipeline.proj_vars, dst)
+
+
 class TwoStagePipeline:
     def __init__(self, binarizer: Binarizer, estimator: StrokeEstimator,
                  devices=None):
+        self.binarizer = binarizer
+        self.estimator = estimator
+        mesh = binarizer.mesh if binarizer.mesh is not None else estimator.mesh
+        if mesh is not None:
+            # Compose PP with DP (VERDICT r2 item 4: --two-stage used to
+            # silently re-pin params to single devices while the pipelines
+            # kept sharding their inputs over the full mesh): each stage
+            # gets HALF the mesh as its own ('dp','tp') sub-mesh, params
+            # replicated and batches dp-sharded within it.
+            mesh_a, mesh_b = _split_mesh(mesh)
+            _rehome(binarizer, mesh_a)
+            _rehome(estimator, mesh_b)
+            self.dev_a = mesh_a.devices.flat[0]
+            self.dev_b = mesh_b.devices.flat[-1]
+            return
         devices = list(devices if devices is not None else jax.devices())
         half = max(len(devices) // 2, 1)
         self.dev_a = devices[0]          # stage A home (params replicated)
         self.dev_b = devices[half % len(devices)]  # stage B home
-        self.binarizer = binarizer
-        self.estimator = estimator
         # Pin each stage's params to its device group.
         self.binarizer.variables = jax.device_put(
             binarizer.variables, self.dev_a)

@@ -164,3 +164,83 @@ def test_unbatched_consumer_exception_stops_producer():
     else:
         raise AssertionError("consumer exception was swallowed")
     assert threading.active_count() <= before
+
+
+def test_two_stage_composes_with_mesh():
+    """VERDICT r2 item 4: --two-stage x --mesh. The pipeline must split the
+    mesh into per-stage sub-meshes (params replicated WITHIN each half,
+    batches dp-sharded within each half) and produce outputs identical to
+    the sequential single-device run."""
+    import jax
+    from stroke_derenderer_tpu.parallel import make_mesh
+
+    bin_cfg = BinarizerConfig(features=(8, 16), bottleneck=32,
+                              compute_dtype="float32")
+    se_cfg = StrokesConfig(encoder_arch="tiny", embed_dim=16,
+                           attention_dim=16, decoder_dim=16, max_length=12,
+                           compute_dtype="float32")
+    imgs = _imgs()
+
+    # Sequential single-device reference.
+    binarizer = Binarizer(bin_cfg, seed=0)
+    estimator = StrokeEstimator(se_cfg, seed=0)
+    seq_masks, seq_strokes = [], []
+    for img in imgs:
+        out = binarizer.binarize_image(img)
+        mask = out[:, :, 0] > 127
+        seq_masks.append(mask)
+        seq_strokes.append(estimator.process_image(mask, max_length=12))
+
+    mesh = make_mesh(8)
+    pipe = TwoStagePipeline(Binarizer(bin_cfg, seed=0, mesh=mesh),
+                            StrokeEstimator(se_cfg, seed=0, mesh=mesh))
+    # Each stage got half the mesh, disjoint device sets.
+    devs_a = set(pipe.binarizer.mesh.devices.flat)
+    devs_b = set(pipe.estimator.mesh.devices.flat)
+    assert len(devs_a) == 4 and len(devs_b) == 4
+    assert not devs_a & devs_b
+    # Params actually live on (exactly) their stage's sub-mesh.
+    leaf = jax.tree_util.tree_leaves(pipe.binarizer.variables)[0]
+    assert set(leaf.sharding.device_set) == devs_a
+    leaf = jax.tree_util.tree_leaves(pipe.estimator.enc_vars)[0]
+    assert set(leaf.sharding.device_set) == devs_b
+
+    for chunk in (2, 3):
+        pp_masks, pp_strokes = pipe.process_batched(imgs, chunk_size=chunk,
+                                                    max_length=12)
+        for a, b in zip(seq_masks, pp_masks):
+            assert np.array_equal(a, b)
+        for a, b in zip(seq_strokes, pp_strokes):
+            assert len(a) == len(b)
+            for (ax, ay), (bx, by) in zip(a, b):
+                np.testing.assert_allclose(ax, bx)
+                np.testing.assert_allclose(ay, by)
+
+
+def test_two_stage_unsplittable_mesh_shared():
+    """A dp=1 mesh cannot split: both stages share it and results are
+    still correct (no silent single-device re-pin)."""
+    from stroke_derenderer_tpu.parallel import make_mesh
+
+    bin_cfg = BinarizerConfig(features=(8, 16), bottleneck=32,
+                              compute_dtype="float32")
+    se_cfg = StrokesConfig(encoder_arch="tiny", embed_dim=16,
+                           attention_dim=16, decoder_dim=16, max_length=12,
+                           compute_dtype="float32")
+    imgs = _imgs(2)
+    binarizer = Binarizer(bin_cfg, seed=0)
+    estimator = StrokeEstimator(se_cfg, seed=0)
+    seq = [estimator.process_image(
+        binarizer.binarize_image(img)[:, :, 0] > 127, max_length=12)
+        for img in imgs]
+
+    mesh = make_mesh(2, dp=1, tp=2)
+    pipe = TwoStagePipeline(Binarizer(bin_cfg, seed=0, mesh=mesh),
+                            StrokeEstimator(se_cfg, seed=0, mesh=mesh))
+    assert pipe.binarizer.mesh is mesh and pipe.estimator.mesh is mesh
+    _, pp_strokes = pipe.process_batched(imgs, chunk_size=2, max_length=12)
+    for a, b in zip(seq, pp_strokes):
+        assert len(a) == len(b)
+        for (ax, ay), (bx, by) in zip(a, b):
+            np.testing.assert_allclose(ax, bx)
+            np.testing.assert_allclose(ay, by)
