@@ -282,3 +282,29 @@ def fused_beam_decode(decoder, variables, enc_seq, max_length: int,
         score = score / norm
     best = jnp.argmax(score, axis=1)
     return jnp.take_along_axis(preds, best[:, None, None], axis=1)[:, 0]
+
+
+def fused_beam_decode_sharded(decoder, variables, enc_seq, max_length: int,
+                              mesh, beam_size: int = 5,
+                              length_penalty: float = 0.0,
+                              interpret: bool | None = None):
+    """:func:`fused_beam_decode` with the glyph batch dp-sharded over
+    ``mesh`` via shard_map -- same rationale/contract as
+    fused_decode.fused_greedy_decode_sharded (rows are independent, so
+    the mapped body needs no collectives; batch must divide dp)."""
+    from jax.sharding import PartitionSpec as P
+
+    dp = int(mesh.shape["dp"])
+    if enc_seq.shape[0] % dp:
+        raise ValueError(
+            f"batch {enc_seq.shape[0]} not divisible by dp={dp}")
+
+    def local(vars_, seq):
+        return fused_beam_decode(decoder, vars_, seq, max_length,
+                                 beam_size=beam_size,
+                                 length_penalty=length_penalty,
+                                 interpret=interpret)
+
+    return jax.shard_map(local, mesh=mesh, in_specs=(P(), P("dp")),
+                         out_specs=P("dp"),
+                         check_vma=False)(variables, enc_seq)

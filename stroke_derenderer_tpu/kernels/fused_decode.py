@@ -294,3 +294,40 @@ def fused_greedy_decode(decoder, variables, enc_seq, max_length: int,
                                     max_length, block_b=block_b,
                                     interpret=bool(interpret),
                                     stream_dtype=jnp.dtype(decoder.dtype).name)
+
+
+def fused_greedy_decode_sharded(decoder, variables, enc_seq,
+                                max_length: int, mesh, block_b: int = 8,
+                                interpret: bool | None = None):
+    """:func:`fused_greedy_decode` with the glyph batch dp-sharded.
+
+    The Pallas kernel is a single-chip program, so under a mesh we
+    ``shard_map`` it over the 'dp' axis: every dp group runs the whole
+    decode loop on its local rows with the decoder weights replicated.
+    Greedy decode is embarrassingly data-parallel -- rows never interact
+    (reference evaluate_strokes.py:279-302 retires rows independently) --
+    so the mapped body needs zero collectives and multi-chip inference
+    keeps the fused kernel instead of falling back to the XLA while_loop.
+
+    ``enc_seq.shape[0]`` must be divisible by the mesh's dp extent; the
+    pipeline pads glyph batches to ``lcm(glyph_bucket, dp)`` upstream
+    (pipeline/strokes.py estimate_strokes). Axes other than 'dp' (tp)
+    compute replicas of the same rows, matching the replicated out-spec.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    dp = int(mesh.shape["dp"])
+    if enc_seq.shape[0] % dp:
+        raise ValueError(
+            f"batch {enc_seq.shape[0]} not divisible by dp={dp}")
+
+    def local(vars_, seq):
+        return fused_greedy_decode(decoder, vars_, seq, max_length,
+                                   block_b=block_b, interpret=interpret)
+
+    # check_vma=False: the body is shard-local (no collectives) and its
+    # output over unmentioned axes (tp) is replicated by construction,
+    # but the checker cannot see through pallas_call.
+    return jax.shard_map(local, mesh=mesh, in_specs=(P(), P("dp")),
+                         out_specs=P("dp"),
+                         check_vma=False)(variables, enc_seq)

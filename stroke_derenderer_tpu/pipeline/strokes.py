@@ -77,8 +77,10 @@ class StrokeEstimator:
         ``mesh``: optional jax.sharding.Mesh with a 'dp' axis — params
         replicated, the glyph batch axis sharded across chips (SURVEY.md
         §2.4 DP plan; bit-identical outputs, tests/test_mesh_inference.py).
-        The fused Pallas decode kernels are single-chip programs, so mesh
-        mode decodes through the XLA while_loop path."""
+        Mesh mode keeps the fused Pallas decode kernels: they are
+        shard_mapped over 'dp' (kernels/fused_decode.py
+        fused_greedy_decode_sharded), each dp group decoding its local
+        rows with the weights replicated."""
         self.config = config or StrokesConfig()
         self.encoder, self.decoder = build_strokes_models(self.config)
         self.proj = None
@@ -154,10 +156,21 @@ class StrokeEstimator:
         # streaming it in the compute dtype (bf16) is ~2.6x faster at
         # B=80 with negligible effect on trained-model argmax.
         seq = seq.astype(jnp.dtype(cfg.compute_dtype))
-        fused_ok = self.mesh is None  # Pallas kernels are single-chip
+        # The Pallas kernels are single-chip programs; under a mesh they
+        # run per-dp-group via shard_map (rows are independent, so the
+        # mapped decode needs no collectives) -- multi-chip inference
+        # keeps the fused kernels instead of the XLA while_loop.
+        fused = cfg.fused_decode and jax.default_backend() == "tpu"
         if cfg.decode == "beam":
-            if fused_ok and cfg.fused_decode and jax.default_backend() == "tpu":
-                from stroke_derenderer_tpu.kernels import fused_beam_decode
+            if fused:
+                from stroke_derenderer_tpu.kernels import (
+                    fused_beam_decode, fused_beam_decode_sharded,
+                )
+                if self.mesh is not None:
+                    return fused_beam_decode_sharded(
+                        self.decoder, dec_vars, seq, max_length, self.mesh,
+                        beam_size=cfg.beam_size,
+                        length_penalty=cfg.length_penalty)
                 return fused_beam_decode(
                     self.decoder, dec_vars, seq, max_length,
                     beam_size=cfg.beam_size,
@@ -165,11 +178,17 @@ class StrokeEstimator:
             return beam_decode(self.decoder, dec_vars, seq, max_length,
                                beam_size=cfg.beam_size,
                                length_penalty=cfg.length_penalty)
-        if fused_ok and cfg.fused_decode and jax.default_backend() == "tpu":
+        if fused:
             # The WHOLE decode loop as one Pallas program with the
             # encoder sequence and decoder weights VMEM-resident
             # (kernels/fused_decode.py).
-            from stroke_derenderer_tpu.kernels import fused_greedy_decode
+            from stroke_derenderer_tpu.kernels import (
+                fused_greedy_decode, fused_greedy_decode_sharded,
+            )
+            if self.mesh is not None:
+                return fused_greedy_decode_sharded(
+                    self.decoder, dec_vars, seq, max_length, self.mesh,
+                    block_b=cfg.fused_block_b)
             return fused_greedy_decode(self.decoder, dec_vars, seq,
                                        max_length,
                                        block_b=cfg.fused_block_b)

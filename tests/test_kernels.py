@@ -113,6 +113,51 @@ def test_fused_decode_kernel_eos_retirement():
     raise AssertionError("no EOS case found across seeds")
 
 
+def test_fused_decode_sharded_matches_greedy():
+    """VERDICT r2 item 5: the fused kernel shard_mapped over a dp mesh must
+    emit identical tokens to the single-device XLA greedy loop (each dp
+    group decodes its local rows; weights replicated)."""
+    from stroke_derenderer_tpu.kernels import fused_greedy_decode_sharded
+    from stroke_derenderer_tpu.parallel import batch_sharding, make_mesh
+
+    dec, v = _tiny_decoder()
+    enc = jax.random.normal(jax.random.PRNGKey(6), (8, 9, 12))
+    g = np.asarray(greedy_decode(dec, v, enc, 14))
+    for n_dev, tp in [(8, 1), (8, 2), (4, 1)]:
+        mesh = make_mesh(n_dev, dp=n_dev // tp, tp=tp)
+        enc_sh = jax.device_put(enc, batch_sharding(mesh, 3))
+        f = np.asarray(fused_greedy_decode_sharded(
+            dec, v, enc_sh, 14, mesh, block_b=4, interpret=True))
+        assert np.array_equal(g, f), (n_dev, tp)
+
+
+def test_fused_decode_sharded_rejects_indivisible_batch():
+    from stroke_derenderer_tpu.kernels import fused_greedy_decode_sharded
+    from stroke_derenderer_tpu.parallel import make_mesh
+
+    dec, v = _tiny_decoder()
+    enc = jax.random.normal(jax.random.PRNGKey(7), (5, 9, 12))
+    with pytest.raises(ValueError, match="not divisible"):
+        fused_greedy_decode_sharded(dec, v, enc, 10, make_mesh(8),
+                                    interpret=True)
+
+
+def test_fused_beam_sharded_matches_xla():
+    from stroke_derenderer_tpu.kernels import fused_beam_decode_sharded
+    from stroke_derenderer_tpu.models import beam_decode
+    from stroke_derenderer_tpu.parallel import make_mesh
+
+    dec, v = _tiny_decoder()
+    enc = jax.random.normal(jax.random.PRNGKey(8), (8, 9, 12))
+    mesh = make_mesh(8)
+    a = np.asarray(beam_decode(dec, v, enc, 12, beam_size=3,
+                               length_penalty=0.7))
+    b = np.asarray(fused_beam_decode_sharded(
+        dec, v, enc, 12, mesh, beam_size=3, length_penalty=0.7,
+        interpret=True))
+    assert np.array_equal(a, b)
+
+
 def test_fused_beam_kernel_matches_xla():
     """The fully-fused beam kernel must emit byte-identical best beams to
     models.beam_decode across beam sizes and length penalties."""
