@@ -340,6 +340,9 @@ def main(argv=None):
     ap.add_argument("--bin-features", default=None,
                     help="comma list, e.g. 16,32,64")
     ap.add_argument("--encoder-arch", default=None)
+    ap.add_argument("--se-dims", default=None, metavar="E,A,D",
+                    help="captioner embed,attention,decoder dims (comma "
+                         "list) — small values make smoke-training cheap")
     ap.add_argument("--seq-len", type=int, default=96,
                     help="teacher-forcing sequence length (captioner)")
     ap.add_argument("--init-from", default=None, metavar="MODELDIR",
@@ -401,6 +404,9 @@ def main(argv=None):
         feats = tuple(int(x) for x in args.bin_features.split(","))
         bin_kw = {"features": feats, "bottleneck": feats[-1] * 2}
     se_kw = {"encoder_arch": args.encoder_arch} if args.encoder_arch else {}
+    if args.se_dims:
+        e, a, d = (int(x) for x in args.se_dims.split(","))
+        se_kw.update(embed_dim=e, attention_dim=a, decoder_dim=d)
     # Warm starts must match the checkpoint's architecture: adopt the model
     # dir's config JSONs when present (JSON-over-kwargs precedence, same as
     # inference session init / the reference's params.update order).
