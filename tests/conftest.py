@@ -25,6 +25,21 @@ import jax  # noqa: E402
 # update is authoritative.
 jax.config.update("jax_platforms", "cpu")
 
+# Persistent XLA compilation cache: with a single host core, compile time
+# dominates the suite, and the same programs (UNet forward, 384-step decode
+# scan, mesh-sharded variants) are rebuilt by many tests because each
+# pipeline instance jits its own closures. The disk cache dedupes them by
+# computation hash both within one run and across runs/processes
+# (verified: CPU-backend hits). Override the location with
+# SD_TEST_COMPILE_CACHE; set it empty to disable.
+_cache_dir = os.environ.get(
+    "SD_TEST_COMPILE_CACHE",
+    str(Path(__file__).resolve().parent.parent / ".jax_test_cache"))
+if _cache_dir:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

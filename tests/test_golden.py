@@ -28,7 +28,6 @@ GOLDEN = Path(__file__).parent / "golden"
 REPO = Path(__file__).parent.parent
 
 
-@pytest.mark.slow
 def test_e2e_golden_contract(tmp_path):
     from stroke_derenderer_tpu.cli import entrypoint
     models = REPO / "models_demo"

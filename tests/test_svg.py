@@ -50,13 +50,19 @@ def test_json_roundtrip_and_save(tmp_path):
 
 
 def test_cli_flag_writes_svg(tmp_path, rng):
+    from pathlib import Path
+
     from PIL import Image
     from stroke_derenderer_tpu import cli
     img = np.full((64, 300, 3), 255, np.uint8)
     img[30:34, 20:200] = 0
     (tmp_path / "in").mkdir()
     Image.fromarray(img).save(tmp_path / "in" / "a.png")
-    cli.entrypoint(["-input", str(tmp_path / "in"),
+    # models_demo (vs random init) so the greedy decode hits EOS instead of
+    # running all 384 steps per glyph — this test is about --svg plumbing.
+    models = Path(__file__).parent.parent / "models_demo"
+    cli.entrypoint(["-models", str(models),
+                    "-input", str(tmp_path / "in"),
                     "--output", str(tmp_path / "out"), "--svg"])
     assert (tmp_path / "out" / "a_BINARIZED.png").exists()
     assert (tmp_path / "out" / "a_STROKES.json").exists()
