@@ -75,6 +75,13 @@ class BinarizerConfig:
     # one compile per distinct width). Measured on v5e: 1.64x the bucketed
     # path (117 vs 193 ms / 8 same-width images), bit-exact. 0 disables.
     fused_batch_min: int = 3
+    # Split batch calls into this many async sub-dispatches (double
+    # buffering: chunk k+1's host prep + upload against chunk k's compute).
+    # Default 1 (off): on the tunneled v5e this REGRESSED the e2e bench
+    # 61.8 -> 54.9 img/s — the tunnel serializes transfers, so extra
+    # dispatches only add per-sync round trips (~33 ms each). Worth
+    # re-measuring on hosts whose DMA streams genuinely overlap compute.
+    io_chunks: int = 1
 
     def __post_init__(self):
         object.__setattr__(self, "features", tuple(self.features))
@@ -82,7 +89,7 @@ class BinarizerConfig:
     # Execution policy, not architecture: never frozen into exported model
     # dirs (a dir trained when a default differed would silently pin the
     # old policy on every later load — JSON wins over defaults).
-    EXEC_FIELDS = ("batch_bucket", "fused_batch_min", "quant")
+    EXEC_FIELDS = ("batch_bucket", "fused_batch_min", "quant", "io_chunks")
 
     @classmethod
     def from_json(cls, configs_path: str | Path | None = None, **params) -> "BinarizerConfig":
@@ -165,6 +172,10 @@ class StrokesConfig:
     # both paths fall back to XLA off-TPU (see pipeline/strokes.py).
     fused_decode: bool = True
     fused_block_b: int = 16  # greedy kernel rows per grid cell
+    # Async sub-dispatch count for cross-image batch calls (double
+    # buffering; see BinarizerConfig.io_chunks — measured a REGRESSION on
+    # the tunneled v5e, so off by default). 1 disables.
+    io_chunks: int = 1
 
     def __post_init__(self):
         object.__setattr__(self, "mean", tuple(self.mean))
@@ -184,7 +195,7 @@ class StrokesConfig:
     EXEC_FIELDS = ("decode", "beam_size", "length_penalty", "glyph_bucket",
                    "device_partition", "fused_decode", "fused_block_b",
                    "redecode_coverage", "redecode_tol", "redecode_passes",
-                   "quant")
+                   "quant", "io_chunks")
 
     @classmethod
     def from_json(cls, configs_path: str | Path | None = None, **params) -> "StrokesConfig":

@@ -36,10 +36,10 @@ def connected_components(img: np.ndarray) -> tuple[np.ndarray, int]:
     return _scipy_label(img)
 
 
-def bounding_boxes(labels: np.ndarray, num: int) -> list[tuple[int, int, int, int]]:
-    """cv2-style (x, y, w, h) per component 1..num, vectorized."""
+def bounding_boxes(labels: np.ndarray, num: int) -> np.ndarray:
+    """cv2-style (x, y, w, h) per component 1..num, vectorized -> (N, 4)."""
     if num == 0:
-        return []
+        return np.zeros((0, 4), np.int64)
     ys, xs = np.nonzero(labels)
     lab = labels[ys, xs]
     order = np.argsort(lab, kind="stable")
@@ -48,21 +48,21 @@ def bounding_boxes(labels: np.ndarray, num: int) -> list[tuple[int, int, int, in
     counts = np.bincount(lab, minlength=num + 1)[1:]
     ends = np.cumsum(counts)
     starts = ends - counts
-    boxes = []
-    for s, e in zip(starts, ends):
-        yy, xx = ys[s:e], xs[s:e]
-        x0, x1 = int(xx.min()), int(xx.max())
-        y0, y1 = int(yy.min()), int(yy.max())
-        boxes.append((x0, y0, x1 - x0 + 1, y1 - y0 + 1))
-    return boxes
+    x0 = np.minimum.reduceat(xs, starts)
+    y0 = np.minimum.reduceat(ys, starts)
+    x1 = np.maximum.reduceat(xs, starts)
+    y1 = np.maximum.reduceat(ys, starts)
+    return np.stack([x0, y0, x1 - x0 + 1, y1 - y0 + 1], axis=1)
 
 
 def connected_components_with_boxes(img: np.ndarray):
+    """-> (labels (H, W) int32, boxes (N, 4) int array of cv2-style
+    (x, y, w, h) rows for components 1..N)."""
     from stroke_derenderer_tpu.native import cc_native
     if cc_native.available():
         labels, num, stats = cc_native.label_with_stats(
             np.ascontiguousarray(img != 0, dtype=np.uint8))
-        return labels, [tuple(int(v) for v in row[:4]) for row in stats]
+        return labels, np.asarray(stats)[:, :4].astype(np.int64)
     labels, num = _scipy_label(img)
     return labels, bounding_boxes(labels, num)
 

@@ -50,36 +50,49 @@ from stroke_derenderer_tpu.ops.grouping import get_pad_edges, group_intervals
 
 @dataclasses.dataclass
 class PartitionPlan:
-    """Host-side bookkeeping for one image's device-partitioned glyphs."""
+    """Host-side bookkeeping for one image's device-partitioned glyphs.
+
+    The interpolation rows travel in COMPACT form — the tunnel to the chip
+    runs at ~30-70 MB/s, so coord bytes are wall-clock: per axis only the
+    first source index (int16) and the second lerp weight (float32, with
+    -1.0 encoding out-of-range outputs) ship; the device derives
+    ``i1 = min(i0 + 1, last)`` and ``w0 = 1 - w1`` (exact for dyadic
+    weights by Sterbenz; otherwise within 1 ulp of the host's f64 value,
+    which moves crop pixels by <=255 * 2^-24 — immaterial after rounding).
+    6 bytes/element instead of 16."""
     gid_img: np.ndarray          # (H, W) int16: pixel -> group id, -1 = bg
-    yi0: np.ndarray              # (N, S) int32 absolute source rows
-    yi1: np.ndarray              # (N, S) int32
-    wy0: np.ndarray              # (N, S) float32
-    wy1: np.ndarray              # (N, S) float32
-    xi0: np.ndarray              # (N, S) int32 absolute source cols
-    xi1: np.ndarray              # (N, S) int32
-    wx0: np.ndarray              # (N, S) float32
-    wx1: np.ndarray              # (N, S) float32
+    yi0: np.ndarray              # (N, S) int16 absolute first source rows
+    wy1: np.ndarray              # (N, S) float32; -1.0 = output row invalid
+    ylast: np.ndarray            # (N,) int16 last valid absolute source row
+    xi0: np.ndarray              # (N, S) int16 absolute first source cols
+    wx1: np.ndarray              # (N, S) float32; -1.0 = output col invalid
+    xlast: np.ndarray            # (N,) int16 last valid absolute source col
     partitions: list[dict]       # translate1/ratio/translate2 per group
 
+    COORD_KEYS = ("yi0", "wy1", "ylast", "xi0", "wx1", "xlast")
 
-def _axis_coords(src0: int, src_len: int, rs_len: int, pad0: int, out: int):
-    """Absolute bilinear source indices/weights for one output axis,
-    identical math to ops/resize.py _interp_matrix (f64, half-pixel centers,
-    cv2 clamping) shifted by the crop origin and the pad offset."""
-    i = np.arange(out, dtype=np.float64)
+
+def _axis_coords(src0, src_len, rs_len, pad0, out: int):
+    """Absolute bilinear first-source indices + second weights for one
+    output axis, identical math to ops/resize.py _interp_matrix (f64,
+    half-pixel centers, cv2 clamping) shifted by the crop origin and the
+    pad offset. Vectorized over groups: ``src0/src_len/rs_len/pad0`` may be
+    (N,) arrays, returning (N, out) int16 / (N, out) float32 with -1.0
+    marking outputs outside the resized extent (the pad border)."""
+    src0 = np.atleast_1d(np.asarray(src0, np.float64))[:, None]
+    src_len = np.atleast_1d(np.asarray(src_len, np.float64))[:, None]
+    rs_len = np.atleast_1d(np.asarray(rs_len, np.float64))[:, None]
+    pad0 = np.atleast_1d(np.asarray(pad0, np.float64))[:, None]
+    i = np.arange(out, dtype=np.float64)[None, :]
     c = (i - pad0 + 0.5) * (src_len / rs_len) - 0.5
     x0 = np.floor(c)
     f = c - x0
     f = np.where(x0 < 0, 0.0, f)
     x0 = np.clip(x0, 0, src_len - 1)
     f = np.where(x0 >= src_len - 1, 0.0, f)
-    x1 = np.clip(x0 + 1, 0, src_len - 1)
     valid = (i >= pad0) & (i < pad0 + rs_len)
-    w0 = np.where(valid, 1.0 - f, 0.0)
-    w1 = np.where(valid, f, 0.0)
-    return ((src0 + x0).astype(np.int32), (src0 + x1).astype(np.int32),
-            w0.astype(np.float32), w1.astype(np.float32))
+    w1 = np.where(valid, f, -1.0)
+    return ((src0 + x0).astype(np.int16), w1.astype(np.float32))
 
 
 def plan_partitions(img_bin: np.ndarray, margin: int, out_size: int
@@ -100,30 +113,30 @@ def plan_partitions(img_bin: np.ndarray, margin: int, out_size: int
         return None
 
     # Margin-expanded island boxes with their label ids (ops/grouping.py
-    # get_binarized_islands geometry, reference partition.py:9-28).
-    isl = []
-    for n, (x, y, bw, bh) in enumerate(boxes, start=1):
-        xs, ys = max(x - margin, 0), max(y - margin, 0)
-        xf, yf = min(x + bw + margin + 1, w), min(y + bh + margin + 1, h)
-        isl.append((n, ys, xs, yf, xf))
-    order = np.argsort([e[2] for e in isl], kind="stable")
-    isl = [isl[k] for k in order]
+    # get_binarized_islands geometry, reference partition.py:9-28) —
+    # vectorized: hundreds of islands per fragmented line make per-island
+    # Python loops a measurable share of the host stage.
+    exs = np.maximum(boxes[:, 0] - margin, 0)
+    eys = np.maximum(boxes[:, 1] - margin, 0)
+    exf = np.minimum(boxes[:, 0] + boxes[:, 2] + margin + 1, w)
+    eyf = np.minimum(boxes[:, 1] + boxes[:, 3] + margin + 1, h)
+    order = np.argsort(exs, kind="stable")
+    lab = (order + 1).astype(np.int64)  # label id per sorted island
+    exs, eys, exf, eyf = exs[order], eys[order], exf[order], eyf[order]
 
     # compute_partitions targets (img_h, img_h): group width budget = height.
-    groups = group_intervals([(e[2], e[4]) for e in isl], h)
+    groups = group_intervals(list(zip(exs.tolist(), exf.tolist())), h)
 
     group_of_label = np.full(len(boxes) + 1, -1, np.int16)
-    rows = {k: [] for k in
-            ("yi0", "yi1", "wy0", "wy1", "xi0", "xi1", "wx0", "wx1")}
+    tops, lefts, ghs, gws, rs_hs, rs_ws, pad_ts, pad_ls = ([] for _ in range(8))
     partitions = []
     for g, inds in enumerate(groups):
-        members = [isl[k] for k in inds]
-        for n, *_ in members:
-            group_of_label[n] = g
-        top = min(m[1] for m in members)
-        left = min(m[2] for m in members)
-        bottom = max(m[3] for m in members)
-        right = max(m[4] for m in members)
+        ii = np.asarray(inds)
+        group_of_label[lab[ii]] = g
+        top = int(eys[ii].min())
+        left = int(exs[ii].min())
+        bottom = int(eyf[ii].max())
+        right = int(exf[ii].max())
         gh, gw = bottom - top, right - left
 
         # resize_and_pad_np scalar math (margin=1 -> 222x222 inner box).
@@ -133,55 +146,97 @@ def plan_partitions(img_bin: np.ndarray, margin: int, out_size: int
         rs_w = int(min(np.rint(scale * gw), new_w))
         rs_h = int(min(np.rint(scale * gh), new_h))
         ratio = (rs_w / gw + rs_h / gh) / 2
-        pad_t = get_pad_edges(out_size - rs_h)[0]
-        pad_l = get_pad_edges(out_size - rs_w)[0]
-
-        yi0, yi1, wy0, wy1 = _axis_coords(top, gh, rs_h, pad_t, out_size)
-        xi0, xi1, wx0, wx1 = _axis_coords(left, gw, rs_w, pad_l, out_size)
-        for k, v in zip(rows, (yi0, yi1, wy0, wy1, xi0, xi1, wx0, wx1)):
-            rows[k].append(v)
+        tops.append(top); lefts.append(left)
+        ghs.append(gh); gws.append(gw)
+        rs_hs.append(rs_h); rs_ws.append(rs_w)
+        pad_ts.append(get_pad_edges(out_size - rs_h)[0])
+        pad_ls.append(get_pad_edges(out_size - rs_w)[0])
         partitions.append({
             "translate1": (left, top),
             "ratio": ratio,
             "translate2": ((out_size - rs_w) / 2, (out_size - rs_h) / 2),
         })
 
+    yi0, wy1 = _axis_coords(tops, ghs, rs_hs, pad_ts, out_size)
+    xi0, wx1 = _axis_coords(lefts, gws, rs_ws, pad_ls, out_size)
     gid_img = group_of_label[labels]
     return PartitionPlan(
         gid_img=gid_img.astype(np.int16),
-        partitions=partitions,
-        **{k: np.stack(v) for k, v in rows.items()})
+        yi0=yi0, wy1=wy1,
+        ylast=(np.asarray(tops) + np.asarray(ghs) - 1).astype(np.int16),
+        xi0=xi0, wx1=wx1,
+        xlast=(np.asarray(lefts) + np.asarray(gws) - 1).astype(np.int16),
+        partitions=partitions)
 
 
-def gather_crops_batched(gid_stack, img_idx, local_id,
-                         yi0, yi1, wy0, wy1, xi0, xi1, wx0, wx1):
-    """Cross-image variant: ``gid_stack`` (I, H, W) holds every image's
-    group-id image (width-padded with -1), ``img_idx``/``local_id`` (N,)
-    map each glyph row to its source image and its image-local group id.
+def pack_gid(gid: np.ndarray, max_groups: int) -> tuple[np.ndarray, str]:
+    """Compress a group-id image/stack for the host->device hop (the
+    tunnel's ~30-70 MB/s makes the gid bytes the strokes stage's dominant
+    transfer). When every image-local id fits a nibble, ids+1 (0..15) pack
+    pairwise along the (even, 256-aligned) width; otherwise int8/int16.
+    Returns (packed, fmt) with fmt one of 'nib' | 'i8' | 'i16'."""
+    if max_groups <= 15 and gid.shape[-1] % 2 == 0:
+        v = (gid + 1).astype(np.uint8)
+        return ((v[..., 0::2] << 4) | v[..., 1::2], "nib")
+    if max_groups < 128:
+        return gid.astype(np.int8), "i8"
+    return gid.astype(np.int16), "i16"
+
+
+def unpack_gid(packed, fmt: str):
+    """Device-side inverse of :func:`pack_gid` (fmt is a static arg)."""
+    if fmt == "nib":
+        hi = (packed >> 4).astype(jnp.int32) - 1
+        lo = (packed & 15).astype(jnp.int32) - 1
+        return jnp.stack([hi, lo], axis=-1).reshape(
+            packed.shape[:-1] + (packed.shape[-1] * 2,))
+    return packed.astype(jnp.int32)
+
+
+def _expand_axis(i0, w1, last):
+    """Compact (i0 int16, w1 f32-with--1-sentinel, last int16) -> the full
+    (i0, i1, w0, w1) int32/f32 interpolation rows (see PartitionPlan)."""
+    valid = w1 >= 0.0
+    w1 = jnp.maximum(w1, 0.0)
+    w0 = jnp.where(valid, 1.0 - w1, 0.0)
+    i0 = i0.astype(jnp.int32)
+    i1 = jnp.minimum(i0 + 1, last.astype(jnp.int32)[:, None])
+    return i0, i1, w0, w1
+
+
+def gather_crops_batched(gid_stack, img_idx, local_id, coords,
+                         gid_fmt: str = "i8"):
+    """Cross-image variant: ``gid_stack`` (I, H, W[/2]) holds every image's
+    (possibly nibble-packed) group-id image (width-padded with -1),
+    ``img_idx``/``local_id`` (N,) map each glyph row to its source image and
+    its image-local group id. ``coords`` is the compact
+    (yi0, wy1, ylast, xi0, wx1, xlast) tuple (PartitionPlan.COORD_KEYS).
     Returns (N, S, S) float32 crops — ONE device program for a whole batch
     of images (the host-crop path's cross-image batching, without crops)."""
-    src_imgs = jnp.take(gid_stack, img_idx, axis=0)          # (N, H, W)
-    src = (src_imgs.astype(jnp.int32) == local_id[:, None, None]
-           .astype(jnp.int32))
-    return _interp_crops(src.astype(jnp.float32) * 255.0,
-                         yi0, yi1, wy0, wy1, xi0, xi1, wx0, wx1)
+    gid = unpack_gid(gid_stack, gid_fmt)
+    src_imgs = jnp.take(gid, img_idx, axis=0)                # (N, H, W)
+    src = (src_imgs == local_id[:, None, None].astype(jnp.int32))
+    return _interp_crops(src.astype(jnp.float32) * 255.0, coords)
 
 
-def gather_crops(gid_img, yi0, yi1, wy0, wy1, xi0, xi1, wx0, wx1):
-    """(H, W) group-id image + per-group interpolation rows ->
+def gather_crops(gid_img, coords, gid_fmt: str = "i16"):
+    """(H, W) group-id image + compact per-group interpolation rows ->
     (N, S, S) float32 crops in {0..255} (composite + resize + pad fused;
-    jittable, pure jnp). Padded plan rows (all-zero weights) yield all-zero
-    crops."""
-    n, _ = yi0.shape
+    jittable, pure jnp). Padded plan rows (zero coords => w1==0 valid rows
+    reading group ids that never match) yield all-zero crops."""
+    n = coords[0].shape[0]
+    gid = unpack_gid(gid_img, gid_fmt)
     g = jnp.arange(n, dtype=jnp.int32)
-    src = (gid_img[None].astype(jnp.int32) == g[:, None, None])
-    return _interp_crops(src.astype(jnp.float32) * 255.0,
-                         yi0, yi1, wy0, wy1, xi0, xi1, wx0, wx1)
+    src = (gid[None] == g[:, None, None])
+    return _interp_crops(src.astype(jnp.float32) * 255.0, coords)
 
 
-def _interp_crops(src, yi0, yi1, wy0, wy1, xi0, xi1, wx0, wx1):
-    """(N, H, W) float32 source canvases + interpolation rows -> (N, S, S)
-    crops via two batched MXU matmuls (resize + pad fused)."""
+def _interp_crops(src, coords):
+    """(N, H, W) float32 source canvases + compact interpolation rows ->
+    (N, S, S) crops via two batched MXU matmuls (resize + pad fused)."""
+    yi0, wy1, ylast, xi0, wx1, xlast = coords
+    yi0, yi1, wy0, wy1 = _expand_axis(yi0, wy1, ylast)
+    xi0, xi1, wx0, wx1 = _expand_axis(xi0, wx1, xlast)
     _, hh, ww = src.shape
     sy = jax.lax.broadcasted_iota(jnp.int32, (1, 1, hh), 2)
     ry = (wy0[:, :, None] * (sy == yi0[:, :, None])

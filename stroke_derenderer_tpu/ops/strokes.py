@@ -38,25 +38,25 @@ def tokens_to_strokes(token_seq: np.ndarray, image_size: int) -> list[Stroke]:
     eos_pos = np.flatnonzero(toks == EOS)
     if eos_pos.size:
         toks = toks[:eos_pos[0]]  # the EOS itself just flushes, like BOS
-    runs: list[list[int]] = []
-    cur: list[int] = []
-    for t in toks.tolist():
-        if t == BOS:
-            runs.append(cur)
-            cur = []
-        elif t == PAD:
-            continue
-        else:
-            cur.append(t - EOS - 1)
-    runs.append(cur)
+    # Vectorized run split (the per-token Python loop dominated host-side
+    # token post-processing at production batch sizes): a vertex's run id is
+    # the number of BOS tokens before it; empty runs vanish in the split,
+    # exactly like the reference's skip of empty strokes.
+    keep = (toks != BOS) & (toks != PAD)
+    vals = (toks[keep] - (EOS + 1)).astype(np.int64)
+    if vals.size == 0:
+        return []
+    rid = np.cumsum(toks == BOS)[keep]
     strokes: list[Stroke] = []
-    for seq in runs:
-        if not seq:
-            continue
-        if len(seq) % 2 != 0:
+    for seq in np.split(vals, np.flatnonzero(np.diff(rid)) + 1):
+        # NB a single-vertex run truncates to an EMPTY stroke which is
+        # still appended — the reference filters empties BEFORE the odd
+        # truncation (evaluate_strokes.py:123-133); sort_strokes drops
+        # them later.
+        if seq.size % 2 != 0:
             seq = seq[:-1]
-        x = np.array(seq[::2])
-        y = np.array(seq[1::2]) - image_size
+        x = seq[0::2]
+        y = seq[1::2] - image_size
         strokes.append((x, y))
     return strokes
 

@@ -215,12 +215,15 @@ class StrokeEstimator:
         (ops/device_partition.py)."""
         from stroke_derenderer_tpu.ops.device_partition import gather_crops
 
-        @functools.partial(jax.jit, static_argnames=("max_length",))
-        def run(enc_vars, dec_vars, proj_vars, gid_img, coords, max_length):
-            crops = gather_crops(gid_img, *coords)     # (N, S, S) f32 0..255
+        @functools.partial(jax.jit,
+                           static_argnames=("max_length", "gid_fmt"))
+        def run(enc_vars, dec_vars, proj_vars, gid_img, coords, max_length,
+                gid_fmt):
+            crops = gather_crops(gid_img, coords, gid_fmt)  # (N,S,S) 0..255
             images = self._normalize_raw(crops)
             return self._encode_and_decode(enc_vars, dec_vars, proj_vars,
-                                           images, max_length)
+                                           images, max_length
+                                           ).astype(jnp.int16)
 
         return run
 
@@ -232,14 +235,17 @@ class StrokeEstimator:
             gather_crops_batched,
         )
 
-        @functools.partial(jax.jit, static_argnames=("max_length",))
+        @functools.partial(jax.jit,
+                           static_argnames=("max_length", "gid_fmt"))
         def run(enc_vars, dec_vars, proj_vars, gid_stack, img_idx, local_id,
-                coords, max_length):
+                coords, max_length, gid_fmt):
             crops = gather_crops_batched(gid_stack, img_idx, local_id,
-                                         *coords)
+                                         coords, gid_fmt)
             images = self._normalize_raw(crops)
+            # int16 on the wire: vocab 451 fits and the download halves.
             return self._encode_and_decode(enc_vars, dec_vars, proj_vars,
-                                           images, max_length)
+                                           images, max_length
+                                           ).astype(jnp.int16)
 
         return run
 
@@ -286,7 +292,9 @@ class StrokeEstimator:
         """Device-partitioned variant of process_image: host ships a group-id
         image + per-group interpolation rows; crops never exist on the host
         (ops/device_partition.py)."""
-        from stroke_derenderer_tpu.ops.device_partition import plan_partitions
+        from stroke_derenderer_tpu.ops.device_partition import (
+            PartitionPlan, pack_gid, plan_partitions,
+        )
         cfg = self.config
         img_bin = np.asarray(img_bin)
         if img_bin.ndim == 3:
@@ -298,27 +306,31 @@ class StrokeEstimator:
         n = len(plan.partitions)
         nb = _round_up(n, math.lcm(cfg.glyph_bucket, self._dp))
         wb = _round_up(img_bin.shape[1], 256)  # width bucket bounds recompiles
-        gdt = np.int8 if len(plan.partitions) < 128 else np.int16
-        gid = np.full((img_bin.shape[0], wb), -1, gdt)
+        gid = np.full((img_bin.shape[0], wb), -1, np.int16)
         gid[:, :img_bin.shape[1]] = plan.gid_img
+        gid, gid_fmt = pack_gid(gid, n)
 
         def _pad_rows(a):
             out = np.zeros((nb,) + a.shape[1:], a.dtype)
             out[:n] = a
             return out
 
-        coords = tuple(self._shard_batch(_pad_rows(getattr(plan, k))) for k in
-                       ("yi0", "yi1", "wy0", "wy1",
-                        "xi0", "xi1", "wx0", "wx1"))
+        coords = tuple(self._shard_batch(_pad_rows(getattr(plan, k)))
+                       for k in PartitionPlan.COORD_KEYS)
         preds = self._estimate_partitioned(
             self.enc_vars, self.dec_vars, self.proj_vars,
-            self._replicated(gid), coords, max_length or cfg.max_length)
-        return self.process_tokens(np.asarray(preds[:n]), plan.partitions)
+            self._replicated(gid), coords, max_length or cfg.max_length,
+            gid_fmt)
+        return self.process_tokens(
+            np.asarray(preds[:n]).astype(np.int32), plan.partitions)
 
-    def _process_images_device(self, imgs_bin, max_length: int | None):
-        """Cross-image batched device partitioning: one device program runs
-        EVERY image's glyphs (group-id images stacked, image-local ids)."""
-        from stroke_derenderer_tpu.ops.device_partition import plan_partitions
+    def _dispatch_images_device(self, imgs_bin, max_length: int | None):
+        """Plan + dispatch ONE async device program over a set of images'
+        glyphs (group-id images stacked, image-local ids). Returns
+        (pred handle, plans, counts) without blocking."""
+        from stroke_derenderer_tpu.ops.device_partition import (
+            PartitionPlan, pack_gid, plan_partitions,
+        )
         cfg = self.config
         s = cfg.image_size
         masks, plans = [], []
@@ -331,25 +343,26 @@ class StrokeEstimator:
         counts = [len(p.partitions) if p else 0 for p in plans]
         ntot = sum(counts)
         if ntot == 0:
-            return [[] for _ in imgs_bin]
+            return None, plans, counts
 
         hmax = max(m.shape[0] for m in masks)
         wmax = _round_up(max(m.shape[1] for m in masks), 256)
-        # int8 when every image-local group id fits: halves the upload (the
-        # gid stack is the strokes stage's dominant transfer; the kernel
-        # widens to int32 before comparing either way).
-        gdt = np.int8 if max(counts) < 128 else np.int16
-        gid_stack = np.full((len(masks), hmax, wmax), -1, gdt)
+        gid_stack = np.full((len(masks), hmax, wmax), -1, np.int16)
         for i, (m, p) in enumerate(zip(masks, plans)):
             if p is not None:
                 gid_stack[i, :m.shape[0], :m.shape[1]] = p.gid_img
+        # Nibble/int8-pack the gid stack: it is the strokes stage's dominant
+        # host->device transfer and the tunnel runs at ~30-70 MB/s.
+        gid_stack, gid_fmt = pack_gid(gid_stack, max(counts))
 
         import math
         nb = _round_up(ntot, math.lcm(cfg.glyph_bucket, self._dp))
         img_idx = np.zeros(nb, np.int32)
         local_id = np.full(nb, -2, np.int32)  # pad rows match no group
-        keys = ("yi0", "yi1", "wy0", "wy1", "xi0", "xi1", "wx0", "wx1")
-        coords = {k: np.zeros((nb, s), np.int32 if k[1] == "i"
+        keys = PartitionPlan.COORD_KEYS
+        coords = {k: np.zeros((nb, s) if k[1] == "i" or k[0] == "w"
+                              else (nb,),
+                              np.int16 if k[1] == "i" or k.endswith("last")
                               else np.float32) for k in keys}
         ofs = 0
         for i, p in enumerate(plans):
@@ -362,17 +375,37 @@ class StrokeEstimator:
                 coords[k][ofs:ofs + n] = getattr(p, k)
             ofs += n
 
-        preds = np.asarray(self._estimate_partitioned_batched(
+        preds = self._estimate_partitioned_batched(
             self.enc_vars, self.dec_vars, self.proj_vars,
             self._replicated(gid_stack), self._shard_batch(img_idx),
             self._shard_batch(local_id),
             tuple(self._shard_batch(coords[k]) for k in keys),
-            max_length or cfg.max_length))
-        out, ofs = [], 0
-        for p, n in zip(plans, counts):
-            out.append(self.process_tokens(preds[ofs:ofs + n], p.partitions)
-                       if n else [])
-            ofs += n
+            max_length or cfg.max_length, gid_fmt)
+        return preds, plans, counts
+
+    def _process_images_device(self, imgs_bin, max_length: int | None):
+        """Cross-image batched device partitioning, split into
+        ``config.io_chunks`` async sub-dispatches: chunk k+1's host geometry
+        (connected components, grouping, interpolation planning) and upload
+        overlap chunk k's device compute; chunk k's token download overlaps
+        chunk k+1's compute. Identical outputs to one dispatch."""
+        n_imgs = len(imgs_bin)
+        nch = max(1, (n_imgs + self.config.io_chunks - 1)
+                  // self.config.io_chunks)
+        pending = []
+        for c0 in range(0, n_imgs, nch):
+            pending.append(
+                self._dispatch_images_device(imgs_bin[c0:c0 + nch],
+                                             max_length))
+        out = []
+        for preds, plans, counts in pending:
+            preds = (np.asarray(preds).astype(np.int32)
+                     if preds is not None else None)
+            ofs = 0
+            for p, n in zip(plans, counts):
+                out.append(self.process_tokens(preds[ofs:ofs + n],
+                                               p.partitions) if n else [])
+                ofs += n
         return out
 
     def _process_image_once(self, img_bin, max_length: int | None):

@@ -221,7 +221,9 @@ def train_captioner(config: StrokesConfig, steps: int, batch_size: int,
                     sample_prob: float = 0.0,
                     glyph_style: str = "mixed", mesh=None,
                     data_dir: str | Path | None = None,
-                    ema_decay: float = 0.0):
+                    cache_dir: str | Path | None = None,
+                    ema_decay: float = 0.0,
+                    ss_ramp_frac: float = 1.0):
     encoder, decoder, enc_vars, dec_vars, _ = init_strokes_variables(config, seed)
     params = {"encoder": enc_vars["params"], "decoder": dec_vars["params"]}
     if init_from is not None:
@@ -256,7 +258,7 @@ def train_captioner(config: StrokesConfig, steps: int, batch_size: int,
     step_fn = jit_step(make_captioner_train_step(
         encoder, decoder, tx, enc_image_size=config.encode_image_size,
         coord_sigma=coord_sigma, sample_prob=sample_prob,
-        total_steps=steps))
+        total_steps=steps, ss_ramp_frac=ss_ramp_frac))
     from stroke_derenderer_tpu.data.loader import PrefetchLoader
     from stroke_derenderer_tpu.data.synthetic import partitioned_glyph_batches
     if data_dir is not None:
@@ -265,6 +267,14 @@ def train_captioner(config: StrokesConfig, steps: int, batch_size: int,
         from stroke_derenderer_tpu.data.real import real_glyph_batches
         make = lambda w: real_glyph_batches(
             data_dir, np.random.default_rng(seed + w), batch_size, seq_len,
+            config=config)
+    elif cache_dir is not None:
+        # Pre-generated partition-pipeline samples (data/cache.py): removes
+        # the ~10-20 ms/sample host generator from the loop — on a 1-core
+        # host live generation caps the step rate well below the chip's.
+        from stroke_derenderer_tpu.data.cache import cached_glyph_batches
+        make = lambda w: cached_glyph_batches(
+            cache_dir, np.random.default_rng(seed + w), batch_size, seq_len,
             config=config)
     elif glyph_mode == "partitioned":
         # Crops generated through the inference partition pipeline — no
@@ -356,10 +366,17 @@ def main(argv=None):
                     help="exponential moving average of the trained params "
                          "(e.g. 0.999); the EMA shadow is exported as the "
                          "model and checkpointed for exact resume")
+    ap.add_argument("--ss-ramp-frac", type=float, default=1.0,
+                    help="fraction of the run over which scheduled sampling "
+                         "ramps to its nominal rate (1.0 = whole run)")
     ap.add_argument("--scheduled-sampling", type=float, default=0.0,
                     help="final probability of feeding the model's own "
                          "previous prediction instead of the gold token "
                          "(ramped linearly; captioner)")
+    ap.add_argument("--cache", default=None, metavar="DIR",
+                    help="captioner: train from a pre-generated glyph cache "
+                         "(data/cache.py) instead of live synthesis — "
+                         "removes the host sample generator from the loop")
     ap.add_argument("--data", default=None, metavar="DIR",
                     help="train on REAL labeled pairs from DIR — "
                          "<stem>.png + <stem>_STROKES.json "
@@ -450,7 +467,8 @@ def main(argv=None):
                         coord_sigma=args.coord_smoothing,
                         sample_prob=args.scheduled_sampling,
                         glyph_style=args.glyph_style, mesh=mesh,
-                        data_dir=args.data, ema_decay=args.ema)
+                        data_dir=args.data, cache_dir=args.cache,
+                        ema_decay=args.ema, ss_ramp_frac=args.ss_ramp_frac)
     return 0
 
 

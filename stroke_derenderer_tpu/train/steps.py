@@ -54,7 +54,8 @@ def make_captioner_train_step(encoder, decoder, tx: optax.GradientTransformation
                               enc_image_size: int = 14, proj=None,
                               coord_sigma: float = 0.0,
                               sample_prob: float = 0.0,
-                              total_steps: int = 0):
+                              total_steps: int = 0,
+                              ss_ramp_frac: float = 1.0):
     """Returns jittable ``step(params, opt_state, images, tokens_in,
     tokens_out)`` where params = {'encoder': ..., 'decoder': ...[, 'proj']}.
     Teacher forcing: tokens_in are shifted-right targets. ``coord_sigma``
@@ -96,7 +97,11 @@ def make_captioner_train_step(encoder, decoder, tx: optax.GradientTransformation
         preds = jnp.argmax(jax.lax.stop_gradient(dec(tokens_in)),
                            axis=-1).astype(tokens_in.dtype)
         prev_pred = jnp.concatenate([tokens_in[:, :1], preds[:, :-1]], axis=1)
-        ramp = jnp.clip(step_idx / max(total_steps, 1), 0.0, 1.0)
+        # Reach full sample_prob after ss_ramp_frac of the run (a ramp over
+        # the WHOLE run means most steps train at far below the nominal
+        # rate — r11 at nominal 0.25 averaged ~0.12 effective).
+        ramp = jnp.clip(step_idx / max(total_steps * ss_ramp_frac, 1.0),
+                        0.0, 1.0)
         p = sample_prob * ramp
         key = jax.random.PRNGKey(0)
         key = jax.random.fold_in(key, step_idx.astype(jnp.int32))

@@ -38,8 +38,8 @@ def test_native_stats(rng):
     labels, num, stats = cc_native.label_with_stats(img)
     assert stats.shape == (num, 5)
     boxes = bounding_boxes(labels, num)
+    np.testing.assert_array_equal(np.asarray(stats)[:, :4], boxes)
     for n in range(num):
-        assert tuple(stats[n, :4]) == boxes[n]
         assert stats[n, 4] == (labels == n + 1).sum()
 
 

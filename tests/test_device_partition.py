@@ -11,7 +11,7 @@ import pytest
 
 from stroke_derenderer_tpu.config import StrokesConfig
 from stroke_derenderer_tpu.ops.device_partition import (
-    gather_crops, plan_partitions,
+    PartitionPlan, gather_crops, pack_gid, plan_partitions,
 )
 from stroke_derenderer_tpu.pipeline import StrokeEstimator
 from stroke_derenderer_tpu.pipeline.strokes import compute_partitions
@@ -32,11 +32,26 @@ def _random_mask(seed, w=None):
     return mask
 
 
-def _device_crops(plan):
-    return np.asarray(gather_crops(
-        jnp.asarray(plan.gid_img),
-        *[jnp.asarray(getattr(plan, k)) for k in
-          ("yi0", "yi1", "wy0", "wy1", "xi0", "xi1", "wx0", "wx1")]))
+def _device_crops(plan, packed: bool = False):
+    coords = tuple(jnp.asarray(getattr(plan, k))
+                   for k in PartitionPlan.COORD_KEYS)
+    if packed:
+        gid, fmt = pack_gid(plan.gid_img, len(plan.partitions))
+        return np.asarray(gather_crops(jnp.asarray(gid), coords, fmt))
+    return np.asarray(gather_crops(jnp.asarray(plan.gid_img), coords))
+
+
+def test_packed_gid_crops_identical():
+    """Nibble-packed gid transport must be lossless: same crops bit-for-bit
+    as the unpacked int16 path (pack_gid/unpack_gid round trip)."""
+    mask = _random_mask(11, w=512)  # even width -> nibble format eligible
+    plan = plan_partitions(mask, CFG.margin, CFG.image_size)
+    assert plan is not None
+    gid, fmt = pack_gid(plan.gid_img, len(plan.partitions))
+    if len(plan.partitions) <= 15:
+        assert fmt == "nib" and gid.shape[-1] == mask.shape[1] // 2
+    np.testing.assert_array_equal(_device_crops(plan, packed=True),
+                                  _device_crops(plan))
 
 
 @pytest.mark.parametrize("seed", [0, 1, 2, 7])

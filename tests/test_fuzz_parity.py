@@ -356,9 +356,13 @@ def test_gid_dtype_switch_over_127_groups():
     assert plan is not None
     n = len(plan.partitions)
     assert n == len(parts) and n > 127, n
-    gdt = np.int8 if n < 128 else np.int16
-    assert gdt == np.int16
     assert int(plan.gid_img.max()) == n - 1  # ids wouldn't fit int8
+    from stroke_derenderer_tpu.ops.device_partition import pack_gid
+    _, fmt = pack_gid(plan.gid_img, n)
+    assert fmt == "i16"
+    # ...and a 15-group mask must take the nibble-packed transport.
+    assert pack_gid(np.zeros((128, 256), np.int16), 15)[1] == "nib"
+    assert pack_gid(np.zeros((128, 256), np.int16), 16)[1] == "i8"
     for hp, dp in zip(parts, plan.partitions):
         assert hp["translate1"] == tuple(dp["translate1"])
         assert abs(hp["ratio"] - dp["ratio"]) < 1e-12

@@ -72,6 +72,49 @@ def test_binarize_images_fused_batched_equals_bucketed(binarizer):
         assert np.array_equal(x, y)
 
 
+def test_binarize_io_chunks_identical(binarizer):
+    """Chunked async dispatch (io_chunks=2 double buffering) must be
+    bit-identical to one dispatch, including odd splits and the
+    single-image degenerate chunk."""
+    import dataclasses
+    imgs = [_line_image(w=700), _line_image(w=700), _line_image(w=700)]
+    one = Binarizer(dataclasses.replace(TINY_BIN, io_chunks=1,
+                                        fused_batch_min=1),
+                    variables=binarizer.variables)
+    two = Binarizer(dataclasses.replace(TINY_BIN, io_chunks=2,
+                                        fused_batch_min=1),
+                    variables=binarizer.variables)
+    for a, b in zip(one.binarize_images(imgs), two.binarize_images(imgs)):
+        assert np.array_equal(a, b)
+
+
+def test_strokes_io_chunks_identical(estimator):
+    """Chunked strokes dispatch must reproduce the single-dispatch tokens
+    exactly (same per-image partitions, same decode)."""
+    import dataclasses
+    rng = np.random.default_rng(5)
+    masks = []
+    for _ in range(3):
+        m = np.zeros((128, 420), bool)
+        for _ in range(4):
+            x, y = rng.integers(10, 400), rng.integers(10, 110)
+            m[y:y + 8, x:x + 12] = True
+        masks.append(m)
+    one = StrokeEstimator(dataclasses.replace(TINY_SE, io_chunks=1),
+                          variables=(estimator.enc_vars, estimator.dec_vars,
+                                     estimator.proj_vars))
+    two = StrokeEstimator(dataclasses.replace(TINY_SE, io_chunks=2),
+                          variables=(estimator.enc_vars, estimator.dec_vars,
+                                     estimator.proj_vars))
+    sa = one.process_images(masks, max_length=12)
+    sb = two.process_images(masks, max_length=12)
+    assert len(sa) == len(sb)
+    for la, lb in zip(sa, sb):
+        assert len(la) == len(lb)
+        for (xa, ya), (xb, yb) in zip(la, lb):
+            assert np.array_equal(xa, xb) and np.array_equal(ya, yb)
+
+
 def test_binarize_images_auto_fuses_large_width_groups(binarizer):
     """Default policy: >=fused_batch_min same-width images ride the fused
     program, ragged widths the bucketed path — outputs identical to
