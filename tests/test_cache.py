@@ -1,0 +1,51 @@
+"""Glyph-cache training data (data/cache.py): build/load round trip and
+exact model-input reconstruction through the pipeline's normalize chain."""
+
+import json
+
+import numpy as np
+
+from stroke_derenderer_tpu.config import BOS, StrokesConfig
+from stroke_derenderer_tpu.data.cache import (
+    build_glyph_cache, cached_glyph_batches, load_glyph_cache,
+)
+from stroke_derenderer_tpu.data.synthetic import make_partitioned_glyph_sample
+
+
+def test_build_load_roundtrip(tmp_path):
+    out = build_glyph_cache(tmp_path / "c", n=6, seq_len=32, style="mixed",
+                            seed=3)
+    crops, toks = load_glyph_cache(out)
+    assert crops.shape == (6, 224, 224) and crops.dtype == np.uint8
+    assert toks.shape == (6, 33) and toks.dtype == np.int16
+    meta = json.loads((out / "meta.json").read_text())
+    assert meta["n"] == 6 and meta["seq_len"] == 32
+
+
+def test_cached_batch_matches_live_sample(tmp_path):
+    """A cached sample's reconstructed model input must equal the live
+    generator's image_input bit-for-bit (same normalize chain)."""
+    rng = np.random.default_rng(7)
+    model_in, crop_u8, toks = make_partitioned_glyph_sample(rng, 33,
+                                                            style="mixed")
+    d = tmp_path / "c"
+    d.mkdir()
+    np.savez_compressed(d / "glyphs_00000.npz",
+                        crops=crop_u8[None],
+                        tokens=toks[None].astype(np.int16))
+    batch, tok_in, tok_out = next(cached_glyph_batches(
+        d, np.random.default_rng(0), batch_size=2, seq_len=32))
+    assert batch.shape == (2, 224, 224, 3)
+    np.testing.assert_array_equal(batch[0], model_in)
+    # Teacher-forcing contract: tok_in = [BOS, t[:T-1]], tok_out = t[:T].
+    assert tok_in[0, 0] == BOS
+    np.testing.assert_array_equal(tok_in[0, 1:], toks[:31])
+    np.testing.assert_array_equal(tok_out[0], toks[:32])
+
+
+def test_short_cache_rejected(tmp_path):
+    out = build_glyph_cache(tmp_path / "c", n=2, seq_len=16)
+    import pytest
+    with pytest.raises(ValueError, match="rebuild with --seq-len"):
+        next(cached_glyph_batches(out, np.random.default_rng(0), 1,
+                                  seq_len=64))
