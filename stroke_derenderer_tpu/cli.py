@@ -66,6 +66,12 @@ def parse_args(argv=None):
                         help="Max residual passes for --redecode "
                              "(default 3; each pass stops early once "
                              "coverage C is met or nothing new decodes).")
+    parser.add_argument("--refine", type=float, default=None, metavar="PX",
+                        help="Snap decoded stroke vertices onto the "
+                             "binarized ink within PX pixels "
+                             "(ops/strokes.refine_strokes): keeps the "
+                             "model's stroke order/topology, takes metric "
+                             "accuracy from the mask. E.g. 3.")
     parser.add_argument("--device-partition", action="store_true",
                         help="Materialize glyph crops on device (group-id "
                              "image + MXU resize; ops/device_partition.py; "
@@ -338,6 +344,8 @@ def entrypoint(argv=None):
         se_overrides["redecode_coverage"] = args.redecode
     if args.redecode_passes is not None:
         se_overrides["redecode_passes"] = args.redecode_passes
+    if args.refine is not None:
+        se_overrides["refine_snap"] = args.refine
     if args.device_partition:
         se_overrides["device_partition"] = True
     if args.host_partition:

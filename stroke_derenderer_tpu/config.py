@@ -176,6 +176,11 @@ class StrokesConfig:
     # buffering; see BinarizerConfig.io_chunks — measured a REGRESSION on
     # the tunneled v5e, so off by default). 1 disables.
     io_chunks: int = 1
+    # Snap decoded vertices onto the binarized ink within this many px
+    # (ops/strokes.refine_strokes): the polyline keeps the model's
+    # topology/order while the mask supplies metric accuracy. 0 = off
+    # (reference-parity raw decodes).
+    refine_snap: float = 0.0
 
     def __post_init__(self):
         object.__setattr__(self, "mean", tuple(self.mean))
@@ -195,7 +200,7 @@ class StrokesConfig:
     EXEC_FIELDS = ("decode", "beam_size", "length_penalty", "glyph_bucket",
                    "device_partition", "fused_decode", "fused_block_b",
                    "redecode_coverage", "redecode_tol", "redecode_passes",
-                   "quant", "io_chunks")
+                   "quant", "io_chunks", "refine_snap")
 
     @classmethod
     def from_json(cls, configs_path: str | Path | None = None, **params) -> "StrokesConfig":

@@ -181,6 +181,9 @@ def main(argv=None):
                          "(config.redecode_coverage), e.g. 0.9")
     ap.add_argument("--redecode-passes", type=int, default=None,
                     help="max residual passes (config.redecode_passes)")
+    ap.add_argument("--refine", type=float, default=None, metavar="PX",
+                    help="ink-snap refinement radius "
+                         "(config.refine_snap), e.g. 3")
     ap.add_argument("--dense", action="store_true",
                     help="harder 40-point-stroke distribution (decode-length "
                          "generalization)")
@@ -215,6 +218,8 @@ def main(argv=None):
         ov["redecode_coverage"] = args.redecode
     if args.redecode_passes is not None:
         ov["redecode_passes"] = args.redecode_passes
+    if args.refine is not None:
+        ov["refine_snap"] = args.refine
     bov = {}
     if args.quant:
         ov["quant"] = args.quant

@@ -150,6 +150,47 @@ def merge_stroke_fragments(strokes: list[Stroke], tol: float = 4.0) -> list[Stro
     return strokes
 
 
+def refine_strokes(strokes: list[Stroke], mask: np.ndarray,
+                   max_shift: float = 3.0) -> list[Stroke]:
+    """Snap predicted polyline vertices onto the binarized ink.
+
+    The decoder's vocabulary quantizes to the 224-crop grid and the model
+    itself drifts a few pixels on long traces; the binarized mask holds the
+    exact ink geometry. Each vertex within ``max_shift`` px of ink (but not
+    on it) moves to its nearest ink pixel — the polyline keeps its
+    topology/order (the model's strength) while the mask supplies the
+    metric accuracy (its strength). Vertices farther than ``max_shift``
+    from any ink are left untouched: a badly lost vertex snapping to an
+    unrelated stroke would corrupt the polyline.
+
+    Classic stroke-refinement post-processing; OFF by default
+    (config.refine_snap = 0) since the reference has no analog and the
+    parity contract pins raw decodes."""
+    from scipy import ndimage
+
+    mask = np.asarray(mask)
+    if mask.ndim == 3:
+        mask = mask[:, :, 0]
+    mask = mask.astype(bool)
+    if not mask.any() or not strokes:
+        return strokes
+    # EDT of the background gives, per pixel, the nearest ink pixel.
+    dist, (iy, ix) = ndimage.distance_transform_edt(~mask,
+                                                    return_indices=True)
+    h, w = mask.shape
+    out: list[Stroke] = []
+    for x, y in strokes:
+        x = np.asarray(x, np.float64)
+        y = np.asarray(y, np.float64)
+        xi = np.clip(np.rint(x), 0, w - 1).astype(np.int64)
+        yi = np.clip(np.rint(y), 0, h - 1).astype(np.int64)
+        d = dist[yi, xi]
+        snap = (d > 0) & (d <= max_shift)
+        out.append((np.where(snap, ix[yi, xi].astype(np.float64), x),
+                    np.where(snap, iy[yi, xi].astype(np.float64), y)))
+    return out
+
+
 def strokes_to_json(strokes: list[Stroke], scale: float = 1.0) -> list:
     """Scale and convert to the output JSON structure [[X_list, Y_list], ...]
     (reference main.py:81-88, 122-131)."""

@@ -460,17 +460,26 @@ class StrokeEstimator:
         re-sorted, until the coverage floor is met or a pass recovers
         nothing."""
         strokes = self._process_image_once(img_bin, max_length)
-        if self.config.redecode_coverage <= 0:
+        if self.config.redecode_coverage > 0:
+            for _ in range(max(self.config.redecode_passes, 1)):
+                resid = self._residual_for(img_bin, strokes)
+                if resid is None:
+                    break
+                extra = self._process_image_once(resid, max_length)
+                if not extra:  # pass recovered nothing; residual won't shrink
+                    break
+                strokes = self._merge_redecoded(strokes, extra)
+        return self._refine(strokes, img_bin)
+
+    def _refine(self, strokes, img_bin):
+        """Optional ink-snap refinement (config.refine_snap px; 0 = off).
+        Re-sorted afterwards: snapping can move the endpoint coordinates
+        the writing-order sort keys on."""
+        if self.config.refine_snap <= 0 or not strokes:
             return strokes
-        for _ in range(max(self.config.redecode_passes, 1)):
-            resid = self._residual_for(img_bin, strokes)
-            if resid is None:
-                break
-            extra = self._process_image_once(resid, max_length)
-            if not extra:  # pass recovered nothing; residual won't shrink
-                break
-            strokes = self._merge_redecoded(strokes, extra)
-        return strokes
+        from stroke_derenderer_tpu.ops.strokes import refine_strokes
+        return sort_strokes(refine_strokes(strokes, np.asarray(img_bin),
+                                           self.config.refine_snap))
 
     def _merge_redecoded(self, strokes, extra):
         """Combine base + residual strokes: stitch fragments whose endpoints
@@ -489,22 +498,23 @@ class StrokeEstimator:
         process_image) batches the flagged images' residual masks through
         each extra pass together."""
         out = self._process_images_once(imgs_bin, max_length)
-        if self.config.redecode_coverage <= 0:
-            return out
-        live = list(range(len(out)))  # images still eligible for a pass
-        for _ in range(max(self.config.redecode_passes, 1)):
-            resids = {i: self._residual_for(imgs_bin[i], out[i])
-                      for i in live}
-            todo = [i for i in live if resids[i] is not None]
-            if not todo:
-                break
-            extras = self._process_images_once([resids[i] for i in todo],
-                                               max_length)
-            live = []
-            for i, extra in zip(todo, extras):
-                if extra:  # empty pass: residual won't shrink, retire image
-                    out[i] = self._merge_redecoded(out[i], extra)
-                    live.append(i)
+        if self.config.redecode_coverage > 0:
+            live = list(range(len(out)))  # images still eligible for a pass
+            for _ in range(max(self.config.redecode_passes, 1)):
+                resids = {i: self._residual_for(imgs_bin[i], out[i])
+                          for i in live}
+                todo = [i for i in live if resids[i] is not None]
+                if not todo:
+                    break
+                extras = self._process_images_once(
+                    [resids[i] for i in todo], max_length)
+                live = []
+                for i, extra in zip(todo, extras):
+                    if extra:  # empty pass: residual won't shrink, retire
+                        out[i] = self._merge_redecoded(out[i], extra)
+                        live.append(i)
+        if self.config.refine_snap > 0:
+            out = [self._refine(s, m) for s, m in zip(out, imgs_bin)]
         return out
 
 

@@ -141,3 +141,23 @@ def test_merge_stroke_fragments_respects_tol_and_orientation():
     outside = sops.merge_stroke_fragments([a, (np.arange(20.0, 30.0),
                                                np.zeros(10))], tol=3.0)
     assert len(outside) == 2
+
+
+def test_refine_strokes_snaps_within_radius():
+    from stroke_derenderer_tpu.ops.strokes import refine_strokes
+    mask = np.zeros((32, 64), bool)
+    mask[10, 5:40] = True  # horizontal ink line at y=10
+    strokes = [(np.array([6.0, 20.0, 55.0]), np.array([12.0, 8.0, 25.0]))]
+    out = refine_strokes(strokes, mask, max_shift=3.0)
+    (x, y), = out
+    # First two vertices are 2 px off the line: snapped onto it.
+    assert y[0] == 10.0 and y[1] == 10.0
+    assert x[0] == 6.0 and x[1] == 20.0
+    # Third vertex is ~19 px from any ink: untouched.
+    assert (x[2], y[2]) == (55.0, 25.0)
+    # On-ink vertices never move.
+    on = refine_strokes([(np.array([7.0]), np.array([10.0]))], mask, 3.0)
+    assert on[0][0][0] == 7.0 and on[0][1][0] == 10.0
+    # Empty mask / no strokes are passthroughs.
+    assert refine_strokes(strokes, np.zeros((4, 4), bool)) == strokes
+    assert refine_strokes([], mask) == []
