@@ -97,11 +97,18 @@ def load_glyph_cache(cache_dir: str | Path):
 def cached_glyph_batches(cache_dir: str | Path, rng: np.random.Generator,
                          batch_size: int, seq_len: int = 384,
                          n_batches: int | None = None,
-                         config: StrokesConfig | None = None):
+                         config: StrokesConfig | None = None,
+                         raw: bool = False):
     """Yield (crops (B,S,S,3) f32, tok_in (B,T), tok_out (B,T)) sampled with
     replacement from the cache — the same teacher-forcing contract as
     data/synthetic.partitioned_glyph_batches, reconstructed through the
-    pipeline's exact normalize chain."""
+    pipeline's exact normalize chain.
+
+    ``raw=True`` yields the uint8 crops (B, S, S) untouched instead — for a
+    train step built with ``normalize_on_device`` (train/steps.py), which
+    runs the identical normalize chain inside the jitted program. 12x fewer
+    bytes over the (tunneled) host->device link and no per-sample host
+    float work."""
     cfg = config or StrokesConfig()
     crops, tokens = load_glyph_cache(cache_dir)
     if tokens.shape[1] < seq_len + 1:
@@ -113,9 +120,13 @@ def cached_glyph_batches(cache_dir: str | Path, rng: np.random.Generator,
     i = 0
     while n_batches is None or i < n_batches:
         idx = rng.integers(0, crops.shape[0], batch_size)
-        batch = np.stack([
-            imagenet_normalize_np(minmax_normalize_np(crops[j]), mean, std)
-            for j in idx])
+        if raw:
+            batch = crops[idx]
+        else:
+            batch = np.stack([
+                imagenet_normalize_np(minmax_normalize_np(crops[j]), mean,
+                                      std)
+                for j in idx])
         seqs = tokens[idx, :seq_len + 1].astype(np.int32)
         tok_in = np.concatenate(
             [np.full((batch_size, 1), BOS, np.int32), seqs[:, :seq_len - 1]],

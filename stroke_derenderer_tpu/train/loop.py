@@ -258,7 +258,11 @@ def train_captioner(config: StrokesConfig, steps: int, batch_size: int,
     step_fn = jit_step(make_captioner_train_step(
         encoder, decoder, tx, enc_image_size=config.encode_image_size,
         coord_sigma=coord_sigma, sample_prob=sample_prob,
-        total_steps=steps, ss_ramp_frac=ss_ramp_frac))
+        total_steps=steps, ss_ramp_frac=ss_ramp_frac,
+        # Cached batches ship raw uint8 crops; the step normalizes on
+        # device (12x fewer tunnel bytes/step — see train/steps.py).
+        normalize_on_device=cache_dir is not None,
+        mean=config.mean, std=config.std))
     from stroke_derenderer_tpu.data.loader import PrefetchLoader
     from stroke_derenderer_tpu.data.synthetic import partitioned_glyph_batches
     if data_dir is not None:
@@ -275,7 +279,7 @@ def train_captioner(config: StrokesConfig, steps: int, batch_size: int,
         from stroke_derenderer_tpu.data.cache import cached_glyph_batches
         make = lambda w: cached_glyph_batches(
             cache_dir, np.random.default_rng(seed + w), batch_size, seq_len,
-            config=config)
+            config=config, raw=True)
     elif glyph_mode == "partitioned":
         # Crops generated through the inference partition pipeline — no
         # train/test distribution gap (data/synthetic.py).

@@ -32,6 +32,21 @@ class TrainState:
     step: int = 0
 
 
+def device_normalize_u8(crops_u8: jax.Array, mean, std) -> jax.Array:
+    """(B, S, S) uint8 -> (B, S, S, 3) f32 model input, entirely on device:
+    per-sample minmax rescale then ImageNet normalize — bit-equivalent (to
+    f32 rounding) to imagenet_normalize_np(minmax_normalize_np(crop)) in
+    ops/normalize.py. Lets training ship raw uint8 crops over the link."""
+    x = crops_u8.astype(jnp.float32)
+    mn = jnp.min(x, axis=(1, 2), keepdims=True)
+    mx = jnp.max(x, axis=(1, 2), keepdims=True)
+    scale = jnp.where(mx > mn, 255.0 / jnp.maximum(mx - mn, 1e-12), 0.0)
+    # rint + clip matches the uint8 round-trip of the host chain.
+    u8 = jnp.clip(jnp.rint((x - mn) * scale), 0.0, 255.0)
+    return ((u8[..., None] / 255.0 - jnp.asarray(mean, jnp.float32))
+            / jnp.asarray(std, jnp.float32))
+
+
 def _make_update(loss_of_params: Callable, tx: optax.GradientTransformation):
     def update(params, opt_state, *batch):
         loss, grads = jax.value_and_grad(loss_of_params)(params, *batch)
@@ -55,11 +70,21 @@ def make_captioner_train_step(encoder, decoder, tx: optax.GradientTransformation
                               coord_sigma: float = 0.0,
                               sample_prob: float = 0.0,
                               total_steps: int = 0,
-                              ss_ramp_frac: float = 1.0):
+                              ss_ramp_frac: float = 1.0,
+                              normalize_on_device: bool = False,
+                              mean=None, std=None):
     """Returns jittable ``step(params, opt_state, images, tokens_in,
     tokens_out)`` where params = {'encoder': ..., 'decoder': ...[, 'proj']}.
     Teacher forcing: tokens_in are shifted-right targets. ``coord_sigma``
     enables coordinate-aware label smoothing (train/losses.py).
+
+    ``normalize_on_device`` moves the minmax + ImageNet normalize chain
+    into the jitted step: ``images`` then arrive as raw uint8 crops
+    (B, S, S) — 12x fewer wire bytes per step than the host-normalized
+    (B, S, S, 3) float32, which matters when the accelerator sits behind
+    a ~50 MB/s tunnel, and it drops the per-sample host normalize loop
+    from the (1-core) input path. Bit-equivalent to
+    imagenet_normalize_np(minmax_normalize_np(crop)) up to f32 rounding.
 
     ``sample_prob`` > 0 enables scheduled sampling: a first (gradient-
     stopped) teacher-forced pass produces the model's own next-token
@@ -73,8 +98,13 @@ def make_captioner_train_step(encoder, decoder, tx: optax.GradientTransformation
     from stroke_derenderer_tpu.config import PAD
     from stroke_derenderer_tpu.models import encode_postprocess
 
+    if normalize_on_device:
+        _prep = lambda crops_u8: device_normalize_u8(crops_u8, mean, std)
+    else:
+        _prep = lambda images: images
+
     def encode(params, images):
-        fm = encoder.apply({"params": params["encoder"]}, images)
+        fm = encoder.apply({"params": params["encoder"]}, _prep(images))
         seq = encode_postprocess(fm, enc_image_size)
         if proj is not None:
             seq = proj.apply({"params": params["proj"]}, seq)

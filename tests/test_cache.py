@@ -49,3 +49,31 @@ def test_short_cache_rejected(tmp_path):
     with pytest.raises(ValueError, match="rebuild with --seq-len"):
         next(cached_glyph_batches(out, np.random.default_rng(0), 1,
                                   seq_len=64))
+
+
+def test_raw_batches_and_device_normalize_match_host_chain(tmp_path):
+    """raw=True + the step's on-device normalize must reproduce the host
+    normalize chain (imagenet(minmax(crop))) to f32 rounding."""
+    import jax.numpy as jnp
+
+    from stroke_derenderer_tpu.ops.normalize import (
+        imagenet_normalize_np, minmax_normalize_np,
+    )
+
+    out = build_glyph_cache(tmp_path / "c", n=4, seq_len=32, style="mixed",
+                            seed=5)
+    rng = np.random.default_rng(1)
+    raw_batch, ti_r, to_r = next(cached_glyph_batches(
+        out, np.random.default_rng(1), batch_size=4, seq_len=32, raw=True))
+    host_batch, ti_h, to_h = next(cached_glyph_batches(
+        out, np.random.default_rng(1), batch_size=4, seq_len=32))
+    assert raw_batch.dtype == np.uint8 and raw_batch.shape == (4, 224, 224)
+    np.testing.assert_array_equal(ti_r, ti_h)
+    np.testing.assert_array_equal(to_r, to_h)
+
+    from stroke_derenderer_tpu.train.steps import device_normalize_u8
+
+    cfg = StrokesConfig()
+    dev = np.asarray(device_normalize_u8(jnp.asarray(raw_batch),
+                                         cfg.mean, cfg.std))
+    np.testing.assert_allclose(dev, host_batch, atol=2e-6)
