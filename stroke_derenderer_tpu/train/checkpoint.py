@@ -16,10 +16,13 @@ import numpy as np
 
 
 def save_checkpoint(ckpt_dir: str | Path, step: int, params, opt_state,
-                    extras: dict | None = None) -> Path:
+                    extras: dict | None = None,
+                    keep_last: int = 0) -> Path:
     """Write <dir>/step_<n>/ with params.msgpack, opt_state.msgpack, meta.
     ``extras`` maps name -> pytree, each saved as extra_<name>.msgpack
-    (e.g. EMA shadow params)."""
+    (e.g. EMA shadow params). ``keep_last`` > 0 prunes all but the newest
+    K step dirs after a successful write (long runs at a tight ckpt cadence
+    would otherwise accumulate hundreds of ~100 MB dirs)."""
     import shutil
     d = Path(ckpt_dir) / f"step_{step:08d}"
     tmp = d.with_suffix(".tmp")
@@ -38,6 +41,12 @@ def save_checkpoint(ckpt_dir: str | Path, step: int, params, opt_state,
     if d.exists():
         shutil.rmtree(d)
     tmp.rename(d)
+    if keep_last > 0:
+        olds = sorted(p for p in Path(ckpt_dir).iterdir()
+                      if p.is_dir() and p.name.startswith("step_")
+                      and not p.name.endswith(".tmp"))
+        for p in olds[:-keep_last]:
+            shutil.rmtree(p)
     return d
 
 

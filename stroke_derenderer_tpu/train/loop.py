@@ -129,7 +129,8 @@ def _restore_with_ema(last, params, opt_state, ema_decay):
 
 def train_binarizer(config: BinarizerConfig, steps: int, batch_size: int,
                     out_dir: str | Path, lr: float = 3e-4, seed: int = 0,
-                    ckpt_every: int = 200, log_every: int = 25, mesh=None,
+                    ckpt_every: int = 200, ckpt_keep: int = 0,
+                    log_every: int = 25, mesh=None,
                     data_dir: str | Path | None = None,
                     line_style: str = "mixed", ruled: float = 0.0,
                     init_from: str | Path | None = None,
@@ -193,7 +194,8 @@ def train_binarizer(config: BinarizerConfig, steps: int, batch_size: int,
                 extras = ({"ema": _host_copy(ema.params)}
                           if ema is not None else None)
                 if jax.process_index() == 0:
-                    save_checkpoint(ckpt_dir, i + 1, hp, ho, extras=extras)
+                    save_checkpoint(ckpt_dir, i + 1, hp, ho, extras=extras,
+                                    keep_last=ckpt_keep)
     finally:
         data.close()
 
@@ -215,6 +217,7 @@ def train_binarizer(config: BinarizerConfig, steps: int, batch_size: int,
 def train_captioner(config: StrokesConfig, steps: int, batch_size: int,
                     out_dir: str | Path, lr: float = 3e-4, seed: int = 0,
                     seq_len: int = 96, ckpt_every: int = 200,
+                    ckpt_keep: int = 0,
                     log_every: int = 25, glyph_mode: str = "partitioned",
                     init_from: str | Path | None = None,
                     coord_sigma: float = 0.0,
@@ -318,7 +321,8 @@ def train_captioner(config: StrokesConfig, steps: int, batch_size: int,
                 extras = ({"ema": _host_copy(ema.params)}
                           if ema is not None else None)
                 if jax.process_index() == 0:
-                    save_checkpoint(ckpt_dir, i + 1, hp, ho, extras=extras)
+                    save_checkpoint(ckpt_dir, i + 1, hp, ho, extras=extras,
+                                    keep_last=ckpt_keep)
     finally:
         data.close()
 
@@ -409,6 +413,11 @@ def main(argv=None):
                          "(parallel/mesh.py). 0/1 = single device.")
     ap.add_argument("--tp", type=int, default=1,
                     help="tensor-parallel extent within --mesh (default 1)")
+    ap.add_argument("--ckpt-every", type=int, default=200,
+                    help="checkpoint cadence in steps (default 200)")
+    ap.add_argument("--ckpt-keep", type=int, default=0, metavar="K",
+                    help="prune all but the newest K checkpoints "
+                         "(0 = keep everything)")
     ap.add_argument("--distributed", action="store_true",
                     help="multi-host training: join the process group "
                          "(parallel.multihost.initialize — TPU-pod "
@@ -462,7 +471,8 @@ def main(argv=None):
                         args.out, args.lr, seed, mesh=mesh,
                         data_dir=args.data, line_style=args.line_style,
                         ruled=args.ruled, init_from=args.init_from,
-                        ema_decay=args.ema)
+                        ema_decay=args.ema, ckpt_every=args.ckpt_every,
+                        ckpt_keep=args.ckpt_keep)
     if args.model in ("captioner", "both"):
         train_captioner(StrokesConfig.from_json(se_cfg_json, **se_kw),
                         args.steps, args.batch,
@@ -472,7 +482,9 @@ def main(argv=None):
                         sample_prob=args.scheduled_sampling,
                         glyph_style=args.glyph_style, mesh=mesh,
                         data_dir=args.data, cache_dir=args.cache,
-                        ema_decay=args.ema, ss_ramp_frac=args.ss_ramp_frac)
+                        ema_decay=args.ema, ss_ramp_frac=args.ss_ramp_frac,
+                        ckpt_every=args.ckpt_every,
+                        ckpt_keep=args.ckpt_keep)
     return 0
 
 
