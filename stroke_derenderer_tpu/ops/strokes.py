@@ -61,6 +61,79 @@ def tokens_to_strokes(token_seq: np.ndarray, image_size: int) -> list[Stroke]:
     return strokes
 
 
+def decode_tokens_batch(tokens: np.ndarray, image_size: int,
+                        img_shape: tuple[int, int],
+                        trans1, ratio, trans2) -> list[list[Stroke]]:
+    """Fused tokens_to_strokes + clip_strokes + inverse_transform over a
+    WHOLE (N, L) token matrix in one numpy pass.
+
+    Per-glyph semantics are identical to the three-call chain (pinned by
+    tests/test_strokes_ops.py::test_decode_tokens_batch_parity) except that
+    empty strokes are dropped here instead of by the later sort_strokes —
+    the final pipeline output is unchanged. Exists because the per-glyph
+    Python loop was a measurable slice of the host budget that gates the
+    two-stage pipeline on a 1-core host (~0.8 ms/image at production batch
+    sizes).
+
+    ``trans1/ratio/trans2``: per-glyph transform rows — trans1/trans2 as
+    (N, 2) (x, y) arrays, ratio as (N,). Returns one stroke list per glyph.
+    """
+    toks = np.ascontiguousarray(tokens)
+    n_rows, length = toks.shape
+    alive = np.cumsum(toks == EOS, axis=1) == 0   # strictly before first EOS
+    keep = alive & (toks != BOS) & (toks != PAD)
+    # Run id = (row, #BOS-before) — empty runs vanish in the flatten, like
+    # the reference's skip of empty strokes (evaluate_strokes.py:123-127).
+    rid = np.cumsum(toks == BOS, axis=1)
+    rowk = np.arange(n_rows, dtype=np.int64)[:, None] * (length + 1)
+    runkey = (rowk + rid)[keep]
+    vals = (toks[keep] - (EOS + 1)).astype(np.int64)
+    if vals.size == 0:
+        return [[] for _ in range(n_rows)]
+
+    # Segment bookkeeping: start offsets, lengths, position-in-run.
+    bounds = np.flatnonzero(np.diff(runkey)) + 1
+    starts = np.concatenate(([0], bounds))
+    lens = np.diff(np.concatenate((starts, [vals.size])))
+    seg_of = np.repeat(np.arange(starts.size), lens)
+    pos = np.arange(vals.size) - starts[seg_of]
+    # Odd-length runs drop their trailing element (evaluate_strokes.py:129-131).
+    even_len = lens - (lens & 1)
+    tok_keep = pos < even_len[seg_of]
+    vals, pos, seg_of = vals[tok_keep], pos[tok_keep], seg_of[tok_keep]
+    runkey_seg = runkey[starts]                 # (S,) run -> row*(L+1)+rid
+    row_seg = (runkey_seg // (length + 1)).astype(np.int64)
+
+    xs = vals[pos % 2 == 0].astype(np.float64)
+    ys = (vals[pos % 2 == 1] - image_size).astype(np.float64)
+    vseg = seg_of[pos % 2 == 0]                 # segment id per VERTEX
+    # Clip (inclusive bounds, X vs shape[0] / Y vs shape[1] —
+    # partition.py:230-233), then the inverse transform with the owning
+    # glyph's rows (partition.py:143-156).
+    vkeep = ((xs >= 0) & (xs <= img_shape[0])
+             & (ys >= 0) & (ys <= img_shape[1]))
+    xs, ys, vseg = xs[vkeep], ys[vkeep], vseg[vkeep]
+    t1 = np.asarray(trans1, np.float64)
+    t2 = np.asarray(trans2, np.float64)
+    rr = np.asarray(ratio, np.float64)
+    vrow = row_seg[vseg]
+    xs = (xs - t2[vrow, 0]) / rr[vrow] + t1[vrow, 0]
+    ys = (ys - t2[vrow, 1]) / rr[vrow] + t1[vrow, 1]
+
+    # Split into per-stroke views (empty strokes disappear here; the loop
+    # path appends them and sort_strokes drops them — same final output).
+    vbounds = np.flatnonzero(np.diff(vseg)) + 1
+    x_parts = np.split(xs, vbounds)
+    y_parts = np.split(ys, vbounds)
+    seg_rows = row_seg[vseg[np.concatenate(([0], vbounds))]] \
+        if vseg.size else np.empty(0, np.int64)
+    out: list[list[Stroke]] = [[] for _ in range(n_rows)]
+    for r, x, y in zip(seg_rows, x_parts, y_parts):
+        if x.size:
+            out[int(r)].append((x, y))
+    return out
+
+
 def clip_strokes(strokes: list[Stroke], img_shape: tuple[int, int]) -> list[Stroke]:
     """Drop vertices outside [0, img_shape] per coordinate
     (partition.py:219-237)."""

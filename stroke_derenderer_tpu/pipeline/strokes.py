@@ -275,18 +275,20 @@ class StrokeEstimator:
 
     def process_tokens(self, tokens: np.ndarray, partitions: list[dict]):
         """Token matrix + partition transforms -> globally sorted strokes
-        (reference evaluate_strokes.py:227-247)."""
+        (reference evaluate_strokes.py:227-247). One fused numpy pass over
+        the whole matrix (ops/strokes.decode_tokens_batch) instead of the
+        reference's per-glyph decode/clip/transform chain."""
+        from stroke_derenderer_tpu.ops.strokes import decode_tokens_batch
         cfg = self.config
-        strokes = []
         n = min(tokens.shape[0], len(partitions))
-        for i in range(n):
-            part = partitions[i]
-            s = tokens_to_strokes(tokens[i], cfg.image_size)
-            s = clip_strokes(s, cfg.tgt_shape)
-            s = inverse_transform(s, part["translate1"], part["ratio"],
-                                  part["translate2"])
-            strokes += s
-        return sort_strokes(strokes)
+        if n == 0:
+            return []
+        per_glyph = decode_tokens_batch(
+            np.asarray(tokens[:n]), cfg.image_size, cfg.tgt_shape,
+            np.asarray([partitions[i]["translate1"] for i in range(n)]),
+            np.asarray([partitions[i]["ratio"] for i in range(n)]),
+            np.asarray([partitions[i]["translate2"] for i in range(n)]))
+        return sort_strokes([s for glyph in per_glyph for s in glyph])
 
     def _process_image_device(self, img_bin, max_length: int | None):
         """Device-partitioned variant of process_image: host ships a group-id

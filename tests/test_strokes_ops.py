@@ -161,3 +161,31 @@ def test_refine_strokes_snaps_within_radius():
     # Empty mask / no strokes are passthroughs.
     assert refine_strokes(strokes, np.zeros((4, 4), bool)) == strokes
     assert refine_strokes([], mask) == []
+
+
+def test_decode_tokens_batch_parity():
+    """Fused batch decode == tokens_to_strokes + clip + inverse per glyph
+    (modulo empty strokes, which sort_strokes drops anyway)."""
+    from stroke_derenderer_tpu.ops.strokes import (
+        clip_strokes, decode_tokens_batch, inverse_transform,
+        tokens_to_strokes)
+    rng = np.random.default_rng(123)
+    for trial in range(60):
+        n = int(rng.integers(1, 10))
+        L = int(rng.integers(2, 100))
+        toks = rng.integers(0, 451, size=(n, L)).astype(np.int32)
+        if trial % 3 == 0:
+            toks[rng.random(toks.shape) < 0.3] = 1  # BOS-heavy
+        t1 = rng.uniform(-50, 50, (n, 2))
+        t2 = rng.uniform(0, 5, (n, 2))
+        ratio = rng.uniform(0.1, 3.0, n)
+        got = decode_tokens_batch(toks, 224, (224, 224), t1, ratio, t2)
+        for i in range(n):
+            s = tokens_to_strokes(toks[i], 224)
+            s = clip_strokes(s, (224, 224))
+            s = inverse_transform(s, tuple(t1[i]), ratio[i], tuple(t2[i]))
+            s = [(x, y) for x, y in s if x.size]
+            assert len(s) == len(got[i])
+            for (xa, ya), (xb, yb) in zip(s, got[i]):
+                np.testing.assert_allclose(xa, xb, atol=1e-9)
+                np.testing.assert_allclose(ya, yb, atol=1e-9)
