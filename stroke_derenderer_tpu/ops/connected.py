@@ -55,16 +55,23 @@ def bounding_boxes(labels: np.ndarray, num: int) -> np.ndarray:
     return np.stack([x0, y0, x1 - x0 + 1, y1 - y0 + 1], axis=1)
 
 
-def connected_components_with_boxes(img: np.ndarray):
+def connected_components_with_boxes(img: np.ndarray, with_area: bool = False):
     """-> (labels (H, W) int32, boxes (N, 4) int array of cv2-style
-    (x, y, w, h) rows for components 1..N)."""
+    (x, y, w, h) rows for components 1..N[, areas (N,) pixel counts])."""
     from stroke_derenderer_tpu.native import cc_native
     if cc_native.available():
         labels, num, stats = cc_native.label_with_stats(
             np.ascontiguousarray(img != 0, dtype=np.uint8))
-        return labels, np.asarray(stats)[:, :4].astype(np.int64)
+        boxes = np.asarray(stats)[:, :4].astype(np.int64)
+        if with_area:
+            return labels, boxes, np.asarray(stats)[:, 4].astype(np.int64)
+        return labels, boxes
     labels, num = _scipy_label(img)
-    return labels, bounding_boxes(labels, num)
+    boxes = bounding_boxes(labels, num)
+    if with_area:
+        return labels, boxes, np.bincount(labels.ravel(),
+                                          minlength=num + 1)[1:]
+    return labels, boxes
 
 
 # --------------------------- device (jnp) path ---------------------------

@@ -68,6 +68,10 @@ class PartitionPlan:
     wx1: np.ndarray              # (N, S) float32; -1.0 = output col invalid
     xlast: np.ndarray            # (N,) int16 last valid absolute source col
     partitions: list[dict]       # translate1/ratio/translate2 per group
+    ink: np.ndarray | None = None  # (N,) foreground px per group (free from
+    # the CC stats): decode-length proxy for block-sorted dispatch — the
+    # fused decode kernel early-exits per row block, so batching
+    # similar-length rows together retires short blocks early
 
     COORD_KEYS = ("yi0", "wy1", "ylast", "xi0", "wx1", "xlast")
 
@@ -108,7 +112,8 @@ def plan_partitions(img_bin: np.ndarray, margin: int, out_size: int
     if img_bin.ndim == 3:
         img_bin = img_bin[:, :, 0]
     h, w = img_bin.shape
-    labels, boxes = connected_components_with_boxes(img_bin.astype(np.uint8))
+    labels, boxes, areas = connected_components_with_boxes(
+        img_bin.astype(np.uint8), with_area=True)
     if len(boxes) == 0:
         return None
 
@@ -123,16 +128,18 @@ def plan_partitions(img_bin: np.ndarray, margin: int, out_size: int
     order = np.argsort(exs, kind="stable")
     lab = (order + 1).astype(np.int64)  # label id per sorted island
     exs, eys, exf, eyf = exs[order], eys[order], exf[order], eyf[order]
+    areas_sorted = np.asarray(areas)[order]
 
     # compute_partitions targets (img_h, img_h): group width budget = height.
     groups = group_intervals(list(zip(exs.tolist(), exf.tolist())), h)
 
     group_of_label = np.full(len(boxes) + 1, -1, np.int16)
     tops, lefts, ghs, gws, rs_hs, rs_ws, pad_ts, pad_ls = ([] for _ in range(8))
-    partitions = []
+    partitions, inks = [], []
     for g, inds in enumerate(groups):
         ii = np.asarray(inds)
         group_of_label[lab[ii]] = g
+        inks.append(int(areas_sorted[ii].sum()))
         top = int(eys[ii].min())
         left = int(exs[ii].min())
         bottom = int(eyf[ii].max())
@@ -166,7 +173,7 @@ def plan_partitions(img_bin: np.ndarray, margin: int, out_size: int
         ylast=(np.asarray(tops) + np.asarray(ghs) - 1).astype(np.int16),
         xi0=xi0, wx1=wx1,
         xlast=(np.asarray(lefts) + np.asarray(gws) - 1).astype(np.int16),
-        partitions=partitions)
+        partitions=partitions, ink=np.asarray(inks, np.int64))
 
 
 def pack_gid(gid: np.ndarray, max_groups: int) -> tuple[np.ndarray, str]:

@@ -345,7 +345,7 @@ class StrokeEstimator:
         counts = [len(p.partitions) if p else 0 for p in plans]
         ntot = sum(counts)
         if ntot == 0:
-            return None, plans, counts
+            return None, None, plans, counts
 
         hmax = max(m.shape[0] for m in masks)
         wmax = _round_up(max(m.shape[1] for m in masks), 256)
@@ -361,6 +361,7 @@ class StrokeEstimator:
         nb = _round_up(ntot, math.lcm(cfg.glyph_bucket, self._dp))
         img_idx = np.zeros(nb, np.int32)
         local_id = np.full(nb, -2, np.int32)  # pad rows match no group
+        ink = np.full(nb, -1, np.int64)
         keys = PartitionPlan.COORD_KEYS
         coords = {k: np.zeros((nb, s) if k[1] == "i" or k[0] == "w"
                               else (nb,),
@@ -373,9 +374,22 @@ class StrokeEstimator:
             n = len(p.partitions)
             img_idx[ofs:ofs + n] = i
             local_id[ofs:ofs + n] = np.arange(n)
+            if p.ink is not None:
+                ink[ofs:ofs + n] = p.ink
             for k in keys:
                 coords[k][ofs:ofs + n] = getattr(p, k)
             ofs += n
+
+        # Block-sorted dispatch: the fused decode kernel early-exits per
+        # block_b-row block (kernels/fused_decode.py), so ordering rows by
+        # ink (a decode-length proxy) lets blocks of short glyphs retire
+        # early instead of idling behind one long row. Rows are independent
+        # in every decode path (greedy/beam/fused), so a permutation is
+        # output-invariant; ``inv`` restores original order below.
+        perm = np.argsort(-ink, kind="stable")
+        inv = np.argsort(perm)
+        img_idx, local_id = img_idx[perm], local_id[perm]
+        coords = {k: coords[k][perm] for k in keys}
 
         preds = self._estimate_partitioned_batched(
             self.enc_vars, self.dec_vars, self.proj_vars,
@@ -383,7 +397,7 @@ class StrokeEstimator:
             self._shard_batch(local_id),
             tuple(self._shard_batch(coords[k]) for k in keys),
             max_length or cfg.max_length, gid_fmt)
-        return preds, plans, counts
+        return preds, inv, plans, counts
 
     def _process_images_device(self, imgs_bin, max_length: int | None):
         """Cross-image batched device partitioning, split into
@@ -400,8 +414,8 @@ class StrokeEstimator:
                 self._dispatch_images_device(imgs_bin[c0:c0 + nch],
                                              max_length))
         out = []
-        for preds, plans, counts in pending:
-            preds = (np.asarray(preds).astype(np.int32)
+        for preds, inv, plans, counts in pending:
+            preds = (np.asarray(preds)[inv].astype(np.int32)
                      if preds is not None else None)
             ofs = 0
             for p, n in zip(plans, counts):

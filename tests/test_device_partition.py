@@ -148,3 +148,19 @@ def test_process_images_device_matches_per_image():
         assert len(bs) == len(ss)
         for (bx, by), (sx, sy) in zip(bs, ss):
             assert np.array_equal(bx, sx) and np.array_equal(by, sy)
+
+
+def test_plan_ink_counts_match_mask():
+    """plan.ink (the decode-length proxy driving block-sorted dispatch)
+    sums each group's member-island foreground pixels exactly."""
+    rng = np.random.default_rng(5)
+    mask = np.zeros((64, 512), np.uint8)
+    for _ in range(12):
+        y, x = rng.integers(4, 56), rng.integers(4, 500)
+        mask[y:y + rng.integers(2, 8), x:x + rng.integers(2, 10)] = 255
+    plan = plan_partitions(mask, margin=2, out_size=224)
+    assert plan is not None and plan.ink is not None
+    assert plan.ink.sum() == int((mask > 0).sum())
+    # per-group: ink equals the foreground owned by that group's gid pixels
+    for g in range(len(plan.partitions)):
+        assert plan.ink[g] == int(((plan.gid_img == g) & (mask > 0)).sum())
