@@ -181,6 +181,27 @@ class StrokesConfig:
     # topology/order while the mask supplies metric accuracy. 0 = off
     # (reference-parity raw decodes).
     refine_snap: float = 0.0
+    # Decode-time coverage levers (new; both 0.0 = off = reference-parity
+    # greedy). The dominant single-pass failure on dense glyphs is EARLY
+    # EOS: the model stops with ink still untraced (models_demo/README.md —
+    # residual re-decode recovers that ink, proving it is traceable).
+    # ``eos_bias`` subtracts a constant from the EOS logit at every step
+    # (global length prior). ``min_len_scale``/``min_len_base`` give each
+    # glyph row an ink-proportional minimum decode length
+    # min_len = min_len_scale * edge_trans + min_len_base, under which the
+    # EOS logit is masked: rows keep tracing until they have spent a token
+    # budget commensurate with the ink actually present. ``edge_trans`` is
+    # the crop's binary row+column transition count — a thickness-free
+    # arc-length proxy (raw ink pixel count correlates 0.32 with ground
+    # -truth token length on the glyph cache; transitions 0.66, because
+    # resize ratio scales stroke thickness but not boundary length).
+    # Calibration on cache_mixed: token_len/edge_trans 5th pct = 0.033,
+    # median = 0.088 — scale 0.033 floors decode at ~38% of the median
+    # needed length while cutting short only 5% of ground-truth sequences.
+    # Greedy paths only (XLA + fused Pallas); beam ignores both.
+    eos_bias: float = 0.0
+    min_len_scale: float = 0.0
+    min_len_base: float = 0.0
 
     def __post_init__(self):
         object.__setattr__(self, "mean", tuple(self.mean))
@@ -200,7 +221,8 @@ class StrokesConfig:
     EXEC_FIELDS = ("decode", "beam_size", "length_penalty", "glyph_bucket",
                    "device_partition", "fused_decode", "fused_block_b",
                    "redecode_coverage", "redecode_tol", "redecode_passes",
-                   "quant", "io_chunks", "refine_snap")
+                   "quant", "io_chunks", "refine_snap", "eos_bias",
+                   "min_len_scale", "min_len_base")
 
     @classmethod
     def from_json(cls, configs_path: str | Path | None = None, **params) -> "StrokesConfig":
