@@ -176,6 +176,11 @@ class StrokesConfig:
     # buffering; see BinarizerConfig.io_chunks — measured a REGRESSION on
     # the tunneled v5e, so off by default). 1 disables.
     io_chunks: int = 1
+    # Run-length-encode the group-id upload when it beats the dense form
+    # (ops/device_partition.pack_gid): gid images are host-built label
+    # maps with long background runs, and the tunnel is bandwidth-bound.
+    # The device pays one searchsorted expansion per batch.
+    gid_rle: bool = True
     # Snap decoded vertices onto the binarized ink within this many px
     # (ops/strokes.refine_strokes): the polyline keeps the model's
     # topology/order while the mask supplies metric accuracy. 0 = off
@@ -222,7 +227,7 @@ class StrokesConfig:
                    "device_partition", "fused_decode", "fused_block_b",
                    "redecode_coverage", "redecode_tol", "redecode_passes",
                    "quant", "io_chunks", "refine_snap", "eos_bias",
-                   "min_len_scale", "min_len_base")
+                   "min_len_scale", "min_len_base", "gid_rle")
 
     @classmethod
     def from_json(cls, configs_path: str | Path | None = None, **params) -> "StrokesConfig":

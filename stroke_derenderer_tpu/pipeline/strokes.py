@@ -338,7 +338,7 @@ class StrokeEstimator:
         wb = _round_up(img_bin.shape[1], 256)  # width bucket bounds recompiles
         gid = np.full((img_bin.shape[0], wb), -1, np.int16)
         gid[:, :img_bin.shape[1]] = plan.gid_img
-        gid, gid_fmt = pack_gid(gid, n)
+        gid, gid_fmt = pack_gid(gid, n, allow_rle=cfg.gid_rle)
 
         def _pad_rows(a):
             out = np.zeros((nb,) + a.shape[1:], a.dtype)
@@ -381,9 +381,10 @@ class StrokeEstimator:
         for i, (m, p) in enumerate(zip(masks, plans)):
             if p is not None:
                 gid_stack[i, :m.shape[0], :m.shape[1]] = p.gid_img
-        # Nibble/int8-pack the gid stack: it is the strokes stage's dominant
+        # RLE/nibble-pack the gid stack: it is the strokes stage's dominant
         # host->device transfer and the tunnel runs at ~30-70 MB/s.
-        gid_stack, gid_fmt = pack_gid(gid_stack, max(counts))
+        gid_stack, gid_fmt = pack_gid(gid_stack, max(counts),
+                                      allow_rle=cfg.gid_rle)
 
         import math
         nb = _round_up(ntot, math.lcm(cfg.glyph_bucket, self._dp))

@@ -32,12 +32,15 @@ def _random_mask(seed, w=None):
     return mask
 
 
-def _device_crops(plan, packed: bool = False):
+def _device_crops(plan, packed: bool = False, allow_rle: bool = True):
     coords = tuple(jnp.asarray(getattr(plan, k))
                    for k in PartitionPlan.COORD_KEYS)
     if packed:
-        gid, fmt = pack_gid(plan.gid_img, len(plan.partitions))
-        return np.asarray(gather_crops(jnp.asarray(gid), coords, fmt))
+        gid, fmt = pack_gid(plan.gid_img, len(plan.partitions),
+                            allow_rle=allow_rle)
+        gid = (tuple(jnp.asarray(g) for g in gid)
+               if isinstance(gid, tuple) else jnp.asarray(gid))
+        return np.asarray(gather_crops(gid, coords, fmt))
     return np.asarray(gather_crops(jnp.asarray(plan.gid_img), coords))
 
 
@@ -164,3 +167,78 @@ def test_plan_ink_counts_match_mask():
     # per-group: ink equals the foreground owned by that group's gid pixels
     for g in range(len(plan.partitions)):
         assert plan.ink[g] == int(((plan.gid_img == g) & (mask > 0)).sum())
+
+
+def test_rle_gid_roundtrip_exact():
+    """RLE transport is lossless on compressible (real-shaped) gid images
+    and stacks, including -1 background and width padding."""
+    from stroke_derenderer_tpu.ops.device_partition import unpack_gid
+    rng = np.random.default_rng(3)
+    for shape in [(128, 512), (4, 128, 768)]:
+        gid = np.full(shape, -1, np.int16)
+        # sparse block structure: long runs, like host-built label maps
+        flat = gid.reshape(-1)
+        for _ in range(40):
+            a = int(rng.integers(0, flat.size - 60))
+            flat[a:a + int(rng.integers(3, 60))] = int(rng.integers(0, 14))
+        packed, fmt = pack_gid(gid, 14, allow_rle=True)
+        assert fmt == f"rle:{'x'.join(str(d) for d in shape)}", fmt
+        assert isinstance(packed, tuple) and packed[0].dtype == np.int32
+        out = np.asarray(unpack_gid(tuple(jnp.asarray(p) for p in packed),
+                                    fmt))
+        np.testing.assert_array_equal(out, gid)
+
+
+def test_rle_gid_falls_back_on_noise():
+    """High-entropy gid content must keep the dense format (RLE only wins
+    with the >40% margin that pays for the device expansion)."""
+    rng = np.random.default_rng(4)
+    gid = rng.integers(-1, 14, (128, 512)).astype(np.int16)
+    _, fmt = pack_gid(gid, 14, allow_rle=True)
+    assert fmt == "nib"
+
+
+def test_rle_gid_crops_identical():
+    """Crops through the RLE transport match the dense path bit-for-bit."""
+    mask = np.zeros((128, 512), bool)
+    for k in range(6):  # smooth strokes -> compressible gid image
+        x = np.arange(30 + 70 * k, 90 + 70 * k) % 512
+        y = (64 + 40 * np.sin(np.linspace(0, 3, x.size) + k)).astype(int)
+        mask[np.clip(y, 0, 127), x] = True
+        mask[np.clip(y + 1, 0, 127), x] = True
+    plan = plan_partitions(mask, CFG.margin, CFG.image_size)
+    assert plan is not None
+    gid, fmt = pack_gid(plan.gid_img, len(plan.partitions), allow_rle=True)
+    assert fmt.startswith("rle:")
+    np.testing.assert_array_equal(
+        _device_crops(plan, packed=True, allow_rle=True),
+        _device_crops(plan, packed=True, allow_rle=False))
+
+
+def test_pipeline_gid_rle_output_invariance():
+    """StrokeEstimator batched device path: gid_rle on/off -> identical
+    strokes."""
+    from stroke_derenderer_tpu.config import StrokesConfig
+    from stroke_derenderer_tpu.pipeline.strokes import StrokeEstimator
+    masks = []
+    for s in range(2):
+        m = np.zeros((128, 384), bool)
+        x = np.arange(40, 340)
+        y = (60 + 30 * np.sin(x / (17.0 + s))).astype(int)
+        m[y, x] = True
+        m[y + 1, x] = True
+        masks.append(m)
+    est_on = StrokeEstimator(StrokesConfig(encoder_arch="tiny", embed_dim=32,
+                                           attention_dim=32, decoder_dim=32,
+                                           gid_rle=True))
+    est_off = StrokeEstimator(StrokesConfig(encoder_arch="tiny", embed_dim=32,
+                                            attention_dim=32, decoder_dim=32,
+                                            gid_rle=False),
+                              variables=(est_on.enc_vars, est_on.dec_vars,
+                                         est_on.proj_vars))
+    a = est_on.process_images(masks, max_length=12)
+    b = est_off.process_images(masks, max_length=12)
+    for sa, sb in zip(a, b):
+        assert len(sa) == len(sb)
+        for pa, pb in zip(sa, sb):
+            np.testing.assert_array_equal(np.asarray(pa), np.asarray(pb))
