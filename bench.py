@@ -265,15 +265,35 @@ def _tpu_alive(total_budget_s: float = 480.0, attempt_s: float = 90.0) -> bool:
 
 
 def _run_measurement_subprocess(timeout_s: float) -> str | None:
-    """One full accelerator bench attempt; returns the JSON line or None."""
+    """One full accelerator bench attempt; returns the JSON line or None.
+    A failed attempt's output tail is persisted to BENCH_WORKER.log so a
+    CPU-fallback line is diagnosable after the fact (round 3: a worker
+    crash is otherwise swallowed by capture_output)."""
+    log_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_WORKER.log")
     try:
         r = subprocess.run([sys.executable, os.path.abspath(__file__),
                             "--worker"],
                            timeout=timeout_s, capture_output=True, text=True,
                            cwd=os.path.dirname(os.path.abspath(__file__)))
-    except subprocess.TimeoutExpired:
+    except subprocess.TimeoutExpired as e:
+        try:
+            with open(log_path, "a") as f:
+                f.write(f"\n=== worker TIMEOUT after {timeout_s}s at "
+                        f"{time.strftime('%F %T')} ===\n"
+                        f"{(e.stderr or b'')[-4000:]}\n")
+        except (OSError, TypeError):
+            pass
         return None
     if r.returncode != 0:
+        try:
+            with open(log_path, "a") as f:
+                f.write(f"\n=== worker rc={r.returncode} at "
+                        f"{time.strftime('%F %T')} ===\n"
+                        f"--- stdout tail ---\n{r.stdout[-2000:]}\n"
+                        f"--- stderr tail ---\n{r.stderr[-6000:]}\n")
+        except OSError:
+            pass
         return None
     for line in reversed(r.stdout.strip().splitlines()):
         try:

@@ -358,11 +358,15 @@ def test_gid_dtype_switch_over_127_groups():
     assert n == len(parts) and n > 127, n
     assert int(plan.gid_img.max()) == n - 1  # ids wouldn't fit int8
     from stroke_derenderer_tpu.ops.device_partition import pack_gid
-    _, fmt = pack_gid(plan.gid_img, n)
+    # Dense-dtype switch (allow_rle=False isolates it; the adaptive RLE
+    # transport on top of it is pinned separately in
+    # tests/test_device_partition.py).
+    _, fmt = pack_gid(plan.gid_img, n, allow_rle=False)
     assert fmt == "i16"
     # ...and a 15-group mask must take the nibble-packed transport.
-    assert pack_gid(np.zeros((128, 256), np.int16), 15)[1] == "nib"
-    assert pack_gid(np.zeros((128, 256), np.int16), 16)[1] == "i8"
+    z = np.zeros((128, 256), np.int16)
+    assert pack_gid(z, 15, allow_rle=False)[1] == "nib"
+    assert pack_gid(z, 16, allow_rle=False)[1] == "i8"
     for hp, dp in zip(parts, plan.partitions):
         assert hp["translate1"] == tuple(dp["translate1"])
         assert abs(hp["ratio"] - dp["ratio"]) < 1e-12
