@@ -325,13 +325,19 @@ def main():
         return
 
     if _tpu_alive():
-        # Two attempts: a wedge mid-compile/mid-run times out and is
-        # retried once after a pause (transient tunnel drops recover).
+        # Three attempts with growing pauses: a wedge mid-compile/mid-run
+        # times out and is retried (transient tunnel drops recover; the
+        # round-3 outage lasted ~20 min and needed a client restart before
+        # the tunnel came back, so later attempts re-probe with a fresh
+        # budget rather than assuming the first probe's health).
         line = _run_measurement_subprocess(timeout_s=1200.0)
-        if line is None:
-            time.sleep(30.0)
-            if _tpu_alive(total_budget_s=180.0):
-                line = _run_measurement_subprocess(timeout_s=900.0)
+        for pause, probe_s, run_s in ((30.0, 180.0, 900.0),
+                                      (240.0, 480.0, 900.0)):
+            if line is not None:
+                break
+            time.sleep(pause)
+            if _tpu_alive(total_budget_s=probe_s):
+                line = _run_measurement_subprocess(timeout_s=run_s)
         if line is not None:
             print(line)
             return
