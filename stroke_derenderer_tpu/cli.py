@@ -76,6 +76,11 @@ def parse_args(argv=None):
                         help="Subtract B from the EOS logit at every decode "
                              "step (config.eos_bias; greedy only): a global "
                              "length prior against early EOS.")
+    parser.add_argument("--join", type=float, default=None, metavar="PX",
+                        help="Stitch decoded strokes whose endpoints sit "
+                             "within PX pixels into single strokes "
+                             "(config.join_tol): reassembles the fragments "
+                             "long-decode levers emit. E.g. 4.")
     parser.add_argument("--min-len-scale", type=float, default=None,
                         metavar="A",
                         help="Per-glyph minimum decode length = A*edge_trans "
@@ -363,6 +368,8 @@ def entrypoint(argv=None):
         se_overrides["refine_snap"] = args.refine
     if args.eos_bias is not None:
         se_overrides["eos_bias"] = args.eos_bias
+    if args.join is not None:
+        se_overrides["join_tol"] = args.join
     if args.min_len_scale is not None:
         se_overrides["min_len_scale"] = args.min_len_scale
     if args.min_len_base is not None:

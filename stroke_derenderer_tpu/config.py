@@ -207,6 +207,16 @@ class StrokesConfig:
     eos_bias: float = 0.0
     min_len_scale: float = 0.0
     min_len_base: float = 0.0
+    # Post-decode fragment joining (px; 0 = off = reference-parity). The
+    # coverage levers above make the decoder keep tracing past its natural
+    # EOS, which (like residual re-decode) tends to emit one ground-truth
+    # stroke as several nearly-touching fragments — ink coverage rises but
+    # per-stroke DTW matching degrades. ``join_tol`` runs
+    # ops/strokes.merge_stroke_fragments over the final per-image strokes:
+    # polylines whose endpoints sit within this radius are stitched back
+    # into single strokes (closest pair first), then re-sorted into writing
+    # order. Continuous ink should be one stroke; this restores that.
+    join_tol: float = 0.0
 
     def __post_init__(self):
         object.__setattr__(self, "mean", tuple(self.mean))
@@ -227,7 +237,7 @@ class StrokesConfig:
                    "device_partition", "fused_decode", "fused_block_b",
                    "redecode_coverage", "redecode_tol", "redecode_passes",
                    "quant", "io_chunks", "refine_snap", "eos_bias",
-                   "min_len_scale", "min_len_base", "gid_rle")
+                   "min_len_scale", "min_len_base", "join_tol", "gid_rle")
 
     @classmethod
     def from_json(cls, configs_path: str | Path | None = None, **params) -> "StrokesConfig":

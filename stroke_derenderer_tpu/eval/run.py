@@ -193,6 +193,10 @@ def main(argv=None):
     ap.add_argument("--min-len-base", type=float, default=None,
                     help="intercept b of the ink-proportional min decode "
                          "length (config.min_len_base)")
+    ap.add_argument("--join", type=float, default=None, metavar="PX",
+                    help="post-decode fragment joining radius "
+                         "(config.join_tol): stitch strokes whose endpoints "
+                         "sit within PX into single strokes")
     ap.add_argument("--dense", action="store_true",
                     help="harder 40-point-stroke distribution (decode-length "
                          "generalization)")
@@ -235,6 +239,8 @@ def main(argv=None):
         ov["min_len_scale"] = args.min_len_scale
     if args.min_len_base is not None:
         ov["min_len_base"] = args.min_len_base
+    if args.join is not None:
+        ov["join_tol"] = args.join
     bov = {}
     if args.quant:
         ov["quant"] = args.quant

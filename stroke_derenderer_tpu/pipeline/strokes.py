@@ -514,7 +514,18 @@ class StrokeEstimator:
                 if not extra:  # pass recovered nothing; residual won't shrink
                     break
                 strokes = self._merge_redecoded(strokes, extra)
-        return self._refine(strokes, img_bin)
+        return self._post(strokes, img_bin)
+
+    def _post(self, strokes, img_bin):
+        """Optional post-decode passes, in order: ink-snap refinement
+        (config.refine_snap), then fragment joining (config.join_tol —
+        stitches the nearly-touching fragments the coverage levers emit
+        back into single strokes). Both 0 by default = reference parity."""
+        strokes = self._refine(strokes, img_bin)
+        if self.config.join_tol > 0 and strokes:
+            strokes = sort_strokes(merge_stroke_fragments(
+                strokes, tol=self.config.join_tol))
+        return strokes
 
     def _refine(self, strokes, img_bin):
         """Optional ink-snap refinement (config.refine_snap px; 0 = off).
@@ -558,8 +569,8 @@ class StrokeEstimator:
                     if extra:  # empty pass: residual won't shrink, retire
                         out[i] = self._merge_redecoded(out[i], extra)
                         live.append(i)
-        if self.config.refine_snap > 0:
-            out = [self._refine(s, m) for s, m in zip(out, imgs_bin)]
+        if self.config.refine_snap > 0 or self.config.join_tol > 0:
+            out = [self._post(s, m) for s, m in zip(out, imgs_bin)]
         return out
 
 
