@@ -18,9 +18,9 @@ img/s) on the same workload — see BASELINE.md "Measured denominators".
 
 Robustness: the tunneled accelerator can WEDGE (hang, not error) at any
 point — probe, compile, or mid-run. The timed measurement therefore runs in
-a subprocess with a hard timeout and is retried; the CPU-fallback line is
-emitted only after the probe budget (~8 min of backoff-retried probes) and
-two full measurement attempts are exhausted.
+a subprocess with a hard timeout and is retried on a three-attempt ladder
+with growing pauses and fresh re-probe budgets; the CPU-fallback line is
+emitted only after all probes and attempts are exhausted.
 """
 
 from __future__ import annotations
@@ -277,12 +277,14 @@ def _run_measurement_subprocess(timeout_s: float) -> str | None:
                            timeout=timeout_s, capture_output=True, text=True,
                            cwd=os.path.dirname(os.path.abspath(__file__)))
     except subprocess.TimeoutExpired as e:
+        # e.stderr is bytes even with text=True (the str decode happens
+        # only after communicate() completes normally).
+        tail = (e.stderr or b"").decode(errors="replace")[-4000:]
         try:
             with open(log_path, "a") as f:
                 f.write(f"\n=== worker TIMEOUT after {timeout_s}s at "
-                        f"{time.strftime('%F %T')} ===\n"
-                        f"{(e.stderr or b'')[-4000:]}\n")
-        except (OSError, TypeError):
+                        f"{time.strftime('%F %T')} ===\n{tail}\n")
+        except OSError:
             pass
         return None
     if r.returncode != 0:
@@ -316,6 +318,16 @@ def main():
     if args.worker:
         run_worker()
         return
+
+    # Truncate the failure log at each top-level run so it only ever holds
+    # this run's diagnostics (it is gitignored; unbounded growth otherwise).
+    try:
+        log = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_WORKER.log")
+        if os.path.exists(log):
+            os.truncate(log, 0)
+    except OSError:
+        pass
 
     if args.measure_cpu:
         # Same n_images as the accelerator measure so the vs_baseline ratio
