@@ -333,8 +333,11 @@ def load_images(img_filepaths):
 
 
 def entrypoint(argv=None):
-    from stroke_derenderer_tpu.utils import honor_platform_env
+    from stroke_derenderer_tpu.utils import (
+        enable_compile_cache, honor_platform_env,
+    )
     honor_platform_env()
+    enable_compile_cache()
     args = parse_args(argv)
     if args.init_models:
         from stroke_derenderer_tpu.weights import materialize_model_dir

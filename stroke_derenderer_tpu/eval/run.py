@@ -165,8 +165,11 @@ def evaluate_real(models_dir, data_dir, se_overrides: dict | None = None,
 
 
 def main(argv=None):
-    from stroke_derenderer_tpu.utils import honor_platform_env
+    from stroke_derenderer_tpu.utils import (
+        enable_compile_cache, honor_platform_env,
+    )
     honor_platform_env()
+    enable_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--models", required=True)
     ap.add_argument("--n", type=int, default=50)

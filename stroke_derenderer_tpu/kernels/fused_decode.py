@@ -252,44 +252,62 @@ def _fused_greedy_decode_tpu(enc, enc_proj, h0, c0, packed, min_len,
                                        memory_space=pltpu.VMEM)
     kern = functools.partial(_kernel, max_length=max_length, buf_len=mlp,
                              hdim=hdim)
-    preds, _ = pl.pallas_call(
-        kern,
-        grid=(bp // block_b,),
-        in_specs=[
-            pl.BlockSpec((block_b, pp, e), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_b, pp, a), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_b, hdim), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_b, hdim), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            const((1, pp)),
-            pl.BlockSpec((block_b, 128), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            const(packed["watt"].shape), const(packed["batt"].shape),
-            const(packed["v"].shape), const(packed["bv"].shape),
-            const(packed["wf"].shape),
-            const(packed["bf"].shape), const(packed["wx"].shape),
-            const(packed["wh"].shape), const(packed["blstm"].shape),
-            const(packed["emb"].shape), const(packed["wfc"].shape),
-            const(packed["bfc"].shape),
-        ],
-        out_specs=(
-            pl.BlockSpec((block_b, mlp), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((block_b, pp), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((bp, mlp), jnp.int32),
-            jax.ShapeDtypeStruct((bp, pp), jnp.float32),  # alpha scratch
-        ),
-        interpret=interpret,
-    )(enc, enc_proj, h0, c0, pmask, min_len,
-      packed["watt"], packed["batt"], packed["v"], packed["bv"],
-      packed["wf"], packed["bf"], packed["wx"], packed["wh"],
-      packed["blstm"], packed["emb"], packed["wfc"], packed["bfc"])
+
+    def run_rows(enc_c, proj_c, h0_c, c0_c, ml_c):
+        cb = enc_c.shape[0]
+        preds_c, _ = pl.pallas_call(
+            kern,
+            grid=(cb // block_b,),
+            in_specs=[
+                pl.BlockSpec((block_b, pp, e), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((block_b, pp, a), lambda i: (i, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((block_b, hdim), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((block_b, hdim), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                const((1, pp)),
+                pl.BlockSpec((block_b, 128), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                const(packed["watt"].shape), const(packed["batt"].shape),
+                const(packed["v"].shape), const(packed["bv"].shape),
+                const(packed["wf"].shape),
+                const(packed["bf"].shape), const(packed["wx"].shape),
+                const(packed["wh"].shape), const(packed["blstm"].shape),
+                const(packed["emb"].shape), const(packed["wfc"].shape),
+                const(packed["bfc"].shape),
+            ],
+            out_specs=(
+                pl.BlockSpec((block_b, mlp), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((block_b, pp), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                jax.ShapeDtypeStruct((cb, mlp), jnp.int32),
+                jax.ShapeDtypeStruct((cb, pp), jnp.float32),  # alpha scratch
+            ),
+            interpret=interpret,
+        )(enc_c, proj_c, h0_c, c0_c, pmask, ml_c,
+          packed["watt"], packed["batt"], packed["v"], packed["bv"],
+          packed["wf"], packed["bf"], packed["wx"], packed["wh"],
+          packed["blstm"], packed["emb"], packed["wfc"], packed["bfc"])
+        return preds_c
+
+    # Row-chunked dispatch: XLA keeps each custom call's whole result
+    # tuple VMEM-resident (scoped stack), so a single call over many rows
+    # adds bp*(mlp+pp)*4 bytes on top of the kernel's ~15 MB working set —
+    # at bp=640 that blew the 16 MB scoped-vmem limit by 68 KB (n=64
+    # bench OOM). Capping rows per call bounds the result footprint while
+    # keeping one jitted program; rows are independent, so chunking is
+    # output-invariant.
+    cap = max(block_b, (256 // block_b) * block_b)
+    preds = jnp.concatenate(
+        [run_rows(enc[s0:s0 + cap], enc_proj[s0:s0 + cap],
+                  h0[s0:s0 + cap], c0[s0:s0 + cap], min_len[s0:s0 + cap])
+         for s0 in range(0, bp, cap)]) if bp > cap else run_rows(
+        enc, enc_proj, h0, c0, min_len)
     return preds[:b, :max_length]
 
 

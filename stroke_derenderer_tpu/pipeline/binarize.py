@@ -33,6 +33,7 @@ from stroke_derenderer_tpu.ops.resize import resize_to_height_np
 from stroke_derenderer_tpu.ops.tiling import (
     TilePlan, cut_tiles, cut_tiles_np, plan_tiles, stitch_tiles, stitch_tiles_np,
 )
+from stroke_derenderer_tpu.utils.profiling import LEDGER
 from stroke_derenderer_tpu.weights.store import (
     binarizer_template, build_binarizer_model, init_binarizer_variables,
     load_variables,
@@ -192,12 +193,14 @@ class Binarizer:
                                          batch.dtype)])
                 # Async: device_put + program dispatch return immediately;
                 # the transfer and compute queue behind earlier chunks.
+                LEDGER.add_up(batch)
                 handle = self._fused_batch_program(plan)(
                     self.variables, self._shard_batch(batch))
                 pending.append((handle, chunk, plan))
 
         for handle, chunk, plan in pending:
             packed = np.asarray(handle)[:len(chunk)]
+            LEDGER.add_down(packed)
             masks = np.unpackbits(packed, axis=-1)[:, :, :plan.img_width]
             for j, i in enumerate(chunk):
                 out[i] = (masks[j] * 255).astype(np.uint8)[:, :, None]
@@ -212,8 +215,11 @@ class Binarizer:
         if tb != t:
             pad = np.zeros((tb - t,) + tiles_u8.shape[1:], tiles_u8.dtype)
             tiles_u8 = np.concatenate([tiles_u8, pad], axis=0)
+        LEDGER.add_up(tiles_u8)
         out = self._forward_mask(self.variables, self._shard_batch(tiles_u8))
-        return np.asarray(out[:t])
+        out = np.asarray(out[:t])
+        LEDGER.add_down(out)
+        return out
 
     def binarize_image(self, image: np.ndarray) -> np.ndarray:
         """(H0, W0, C) uint8 -> (height, W_rs, 1) uint8 {0,255}."""
@@ -224,7 +230,10 @@ class Binarizer:
             if self.mesh is not None:
                 from stroke_derenderer_tpu.parallel import replicate
                 img_rs = jax.device_put(img_rs, replicate(self.mesh))
-            return np.asarray(self._fused_program(plan)(self.variables, img_rs))
+            LEDGER.add_up(img_rs)
+            out = np.asarray(self._fused_program(plan)(self.variables, img_rs))
+            LEDGER.add_down(out)
+            return out
         tiles = cut_tiles_np(img_rs, plan)
         masks = self.binarize_tiles(tiles)
         return stitch_tiles_np(masks, plan)

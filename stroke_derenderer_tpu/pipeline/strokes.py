@@ -33,6 +33,7 @@ from stroke_derenderer_tpu.ops.strokes import (
     clip_strokes, inverse_transform, merge_stroke_fragments, sort_strokes,
     tokens_to_strokes,
 )
+from stroke_derenderer_tpu.utils.profiling import LEDGER
 from stroke_derenderer_tpu.weights.store import (
     build_strokes_models, init_strokes_variables, load_variables,
 )
@@ -290,9 +291,12 @@ class StrokeEstimator:
         if nb != n:
             pad = np.zeros((nb - n,) + images.shape[1:], images.dtype)
             images = np.concatenate([images, pad], axis=0)
+        LEDGER.add_up(images)
         preds = self._estimate(self.enc_vars, self.dec_vars, self.proj_vars,
                                self._shard_batch(images), max_length)
-        return np.asarray(preds[:n])
+        preds = np.asarray(preds[:n])
+        LEDGER.add_down(preds)
+        return preds
 
     # ------------------------------------------------------------------
     def get_partitions(self, img_bin: np.ndarray) -> list[dict]:
@@ -345,14 +349,16 @@ class StrokeEstimator:
             out[:n] = a
             return out
 
-        coords = tuple(self._shard_batch(_pad_rows(getattr(plan, k)))
-                       for k in PartitionPlan.COORD_KEYS)
+        padded = [_pad_rows(getattr(plan, k)) for k in PartitionPlan.COORD_KEYS]
+        LEDGER.add_up(gid, *padded)
+        coords = tuple(self._shard_batch(a) for a in padded)
         preds = self._estimate_partitioned(
             self.enc_vars, self.dec_vars, self.proj_vars,
             self._replicated(gid), coords, max_length or cfg.max_length,
             gid_fmt)
-        return self.process_tokens(
-            np.asarray(preds[:n]).astype(np.int32), plan.partitions)
+        preds = np.asarray(preds[:n])
+        LEDGER.add_down(preds)
+        return self.process_tokens(preds.astype(np.int32), plan.partitions)
 
     def _dispatch_images_device(self, imgs_bin, max_length: int | None):
         """Plan + dispatch ONE async device program over a set of images'
@@ -420,6 +426,8 @@ class StrokeEstimator:
         img_idx, local_id = img_idx[perm], local_id[perm]
         coords = {k: coords[k][perm] for k in keys}
 
+        LEDGER.add_up(gid_stack, img_idx, local_id,
+                      *(coords[k] for k in keys))
         preds = self._estimate_partitioned_batched(
             self.enc_vars, self.dec_vars, self.proj_vars,
             self._replicated(gid_stack), self._shard_batch(img_idx),
@@ -444,8 +452,10 @@ class StrokeEstimator:
                                              max_length))
         out = []
         for preds, inv, plans, counts in pending:
-            preds = (np.asarray(preds)[inv].astype(np.int32)
-                     if preds is not None else None)
+            if preds is not None:
+                preds = np.asarray(preds)
+                LEDGER.add_down(preds)
+                preds = preds[inv].astype(np.int32)
             ofs = 0
             for p, n in zip(plans, counts):
                 out.append(self.process_tokens(preds[ofs:ofs + n],

@@ -270,8 +270,11 @@ def make_handler(worker: BatchWorker, timeout_s: float = 120.0):
 
 
 def main(argv=None):
-    from stroke_derenderer_tpu.utils import honor_platform_env
+    from stroke_derenderer_tpu.utils import (
+        enable_compile_cache, honor_platform_env,
+    )
     honor_platform_env()
+    enable_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--models", default=None)
     ap.add_argument("--host", default="127.0.0.1")

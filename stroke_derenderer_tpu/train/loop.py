@@ -345,8 +345,11 @@ def train_captioner(config: StrokesConfig, steps: int, batch_size: int,
 
 
 def main(argv=None):
-    from stroke_derenderer_tpu.utils import honor_platform_env
+    from stroke_derenderer_tpu.utils import (
+        enable_compile_cache, honor_platform_env,
+    )
     honor_platform_env()
+    enable_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--model", choices=["binarizer", "captioner", "both"],
                     default="both")

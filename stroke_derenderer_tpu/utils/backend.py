@@ -24,3 +24,24 @@ def honor_platform_env() -> None:
         import jax
 
         jax.config.update("jax_platforms", plats)
+
+
+def enable_compile_cache(cache_dir: str | None = None) -> None:
+    """Persistent XLA compilation cache for the CLI/serve/eval/bench
+    entrypoints. The tunneled rig's remote compile service is slow AND
+    variable (the same UNet program measured 87 s and 305 s on the same
+    day); caching makes every entrypoint's second run skip it entirely.
+    Default location is the user cache dir, not the repo. Failures are
+    ignored: a read-only filesystem must never break inference."""
+    try:
+        import jax
+
+        cache_dir = cache_dir or os.environ.get(
+            "SD_TPU_COMPILE_CACHE",
+            os.path.join(os.path.expanduser("~"), ".cache",
+                         "stroke_derenderer_tpu", "xla"))
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
