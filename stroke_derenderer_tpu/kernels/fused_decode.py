@@ -226,6 +226,13 @@ def _fused_greedy_decode_tpu(enc, enc_proj, h0, c0, packed, min_len,
     a = enc_proj.shape[-1]
     hdim = h0.shape[-1]
     pp = _round_up(p, 128)
+    # Large grids push the kernel over the 16 MB scoped-vmem limit by
+    # ~68 KB (Mosaic double-buffers the small blocked operands once the
+    # grid is deep enough); halving the block halves the two 4 MB encoder
+    # operands and restores headroom. Small batches keep the configured
+    # block (measured fastest at the bench shapes).
+    if b > 128 and block_b > 8:
+        block_b = 8
     bp = _round_up(b, block_b)
     mlp = _round_up(max_length, 128)  # int32 lane alignment for preds
 
