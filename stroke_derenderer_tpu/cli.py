@@ -72,26 +72,6 @@ def parse_args(argv=None):
                              "(ops/strokes.refine_strokes): keeps the "
                              "model's stroke order/topology, takes metric "
                              "accuracy from the mask. E.g. 3.")
-    parser.add_argument("--eos-bias", type=float, default=None, metavar="B",
-                        help="Subtract B from the EOS logit at every decode "
-                             "step (config.eos_bias; greedy only): a global "
-                             "length prior against early EOS.")
-    parser.add_argument("--join", type=float, default=None, metavar="PX",
-                        help="Stitch decoded strokes whose endpoints sit "
-                             "within PX pixels into single strokes "
-                             "(config.join_tol): reassembles the fragments "
-                             "long-decode levers emit. E.g. 4.")
-    parser.add_argument("--min-len-scale", type=float, default=None,
-                        metavar="A",
-                        help="Per-glyph minimum decode length = A*edge_trans "
-                             "+ min-len-base (edge_trans = crop boundary "
-                             "transitions, a thickness-free arc-length "
-                             "proxy), masking EOS until reached "
-                             "(config.min_len_scale; greedy only).")
-    parser.add_argument("--min-len-base", type=float, default=None,
-                        metavar="B",
-                        help="Intercept of the ink-proportional minimum "
-                             "decode length (config.min_len_base).")
     parser.add_argument("--device-partition", action="store_true",
                         help="Materialize glyph crops on device (group-id "
                              "image + MXU resize; ops/device_partition.py; "
@@ -369,14 +349,6 @@ def entrypoint(argv=None):
         se_overrides["redecode_passes"] = args.redecode_passes
     if args.refine is not None:
         se_overrides["refine_snap"] = args.refine
-    if args.eos_bias is not None:
-        se_overrides["eos_bias"] = args.eos_bias
-    if args.join is not None:
-        se_overrides["join_tol"] = args.join
-    if args.min_len_scale is not None:
-        se_overrides["min_len_scale"] = args.min_len_scale
-    if args.min_len_base is not None:
-        se_overrides["min_len_base"] = args.min_len_base
     if args.device_partition:
         se_overrides["device_partition"] = True
     if args.host_partition:

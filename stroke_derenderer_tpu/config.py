@@ -186,37 +186,15 @@ class StrokesConfig:
     # topology/order while the mask supplies metric accuracy. 0 = off
     # (reference-parity raw decodes).
     refine_snap: float = 0.0
-    # Decode-time coverage levers (new; both 0.0 = off = reference-parity
-    # greedy). The dominant single-pass failure on dense glyphs is EARLY
-    # EOS: the model stops with ink still untraced (models_demo/README.md —
-    # residual re-decode recovers that ink, proving it is traceable).
-    # ``eos_bias`` subtracts a constant from the EOS logit at every step
-    # (global length prior). ``min_len_scale``/``min_len_base`` give each
-    # glyph row an ink-proportional minimum decode length
-    # min_len = min_len_scale * edge_trans + min_len_base, under which the
-    # EOS logit is masked: rows keep tracing until they have spent a token
-    # budget commensurate with the ink actually present. ``edge_trans`` is
-    # the crop's binary row+column transition count — a thickness-free
-    # arc-length proxy (raw ink pixel count correlates 0.32 with ground
-    # -truth token length on the glyph cache; transitions 0.66, because
-    # resize ratio scales stroke thickness but not boundary length).
-    # Calibration on cache_mixed: token_len/edge_trans 5th pct = 0.033,
-    # median = 0.088 — scale 0.033 floors decode at ~38% of the median
-    # needed length while cutting short only 5% of ground-truth sequences.
-    # Greedy paths only (XLA + fused Pallas); beam ignores both.
-    eos_bias: float = 0.0
-    min_len_scale: float = 0.0
-    min_len_base: float = 0.0
-    # Post-decode fragment joining (px; 0 = off = reference-parity). The
-    # coverage levers above make the decoder keep tracing past its natural
-    # EOS, which (like residual re-decode) tends to emit one ground-truth
-    # stroke as several nearly-touching fragments — ink coverage rises but
-    # per-stroke DTW matching degrades. ``join_tol`` runs
-    # ops/strokes.merge_stroke_fragments over the final per-image strokes:
-    # polylines whose endpoints sit within this radius are stitched back
-    # into single strokes (closest pair first), then re-sorted into writing
-    # order. Continuous ink should be one stroke; this restores that.
-    join_tol: float = 0.0
+    # Decode-time coverage levers that were MEASURED AND DELETED (round 4;
+    # the repo's standing discipline — int8/beam-rerank/endpoint-merge all
+    # got the same treatment): an EOS logit bias, an ink-proportional
+    # per-row minimum decode length (edge-transition arc-length proxy,
+    # calibrated on the glyph cache), and post-decode fragment joining.
+    # On mixed n=24 seed 0: min_len at its calibration was output-identical
+    # to baseline; join_tol 4 cost +0.6 DTW for nothing; eos_bias 2 bought
+    # +0.05 coverage at +1.2 DTW — every combination dominated by residual
+    # re-decode (coverage 0.944, chamfer 4.53; models_demo/README.md).
 
     def __post_init__(self):
         object.__setattr__(self, "mean", tuple(self.mean))
@@ -236,8 +214,7 @@ class StrokesConfig:
     EXEC_FIELDS = ("decode", "beam_size", "length_penalty", "glyph_bucket",
                    "device_partition", "fused_decode", "fused_block_b",
                    "redecode_coverage", "redecode_tol", "redecode_passes",
-                   "quant", "io_chunks", "refine_snap", "eos_bias",
-                   "min_len_scale", "min_len_base", "join_tol", "gid_rle")
+                   "quant", "io_chunks", "refine_snap", "gid_rle")
 
     @classmethod
     def from_json(cls, configs_path: str | Path | None = None, **params) -> "StrokesConfig":

@@ -187,19 +187,6 @@ def main(argv=None):
     ap.add_argument("--refine", type=float, default=None, metavar="PX",
                     help="ink-snap refinement radius "
                          "(config.refine_snap), e.g. 3")
-    ap.add_argument("--eos-bias", type=float, default=None,
-                    help="constant subtracted from the EOS logit each step "
-                         "(config.eos_bias; greedy only)")
-    ap.add_argument("--min-len-scale", type=float, default=None,
-                    help="per-row min decode length = a*crop_ink_px + b "
-                         "(config.min_len_scale; greedy only)")
-    ap.add_argument("--min-len-base", type=float, default=None,
-                    help="intercept b of the ink-proportional min decode "
-                         "length (config.min_len_base)")
-    ap.add_argument("--join", type=float, default=None, metavar="PX",
-                    help="post-decode fragment joining radius "
-                         "(config.join_tol): stitch strokes whose endpoints "
-                         "sit within PX into single strokes")
     ap.add_argument("--dense", action="store_true",
                     help="harder 40-point-stroke distribution (decode-length "
                          "generalization)")
@@ -236,14 +223,6 @@ def main(argv=None):
         ov["redecode_passes"] = args.redecode_passes
     if args.refine is not None:
         ov["refine_snap"] = args.refine
-    if args.eos_bias is not None:
-        ov["eos_bias"] = args.eos_bias
-    if args.min_len_scale is not None:
-        ov["min_len_scale"] = args.min_len_scale
-    if args.min_len_base is not None:
-        ov["min_len_base"] = args.min_len_base
-    if args.join is not None:
-        ov["join_tol"] = args.join
     bov = {}
     if args.quant:
         ov["quant"] = args.quant

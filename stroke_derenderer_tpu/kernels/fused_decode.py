@@ -88,7 +88,7 @@ def pack_decoder_weights(params: dict) -> dict:
 F32_PACKED = ("wfc", "bfc")
 
 
-def _kernel(enc_ref, proj_ref, h0_ref, c0_ref, pmask_ref, minlen_ref,
+def _kernel(enc_ref, proj_ref, h0_ref, c0_ref, pmask_ref,
             watt_ref, batt_ref, v_ref, bv_ref, wf_ref, bf_ref,
             wx_ref, wh_ref, blstm_ref, emb_ref, wfc_ref, bfc_ref,
             preds_ref, alpha_ref, *, max_length: int, buf_len: int,
@@ -179,14 +179,6 @@ def _kernel(enc_ref, proj_ref, h0_ref, c0_ref, pmask_ref, minlen_ref,
         # Entirely f32, like AttentiveDecoder.fc (dtype=jnp.float32).
         logits = (jnp.dot(h2.astype(jnp.float32), wfc_ref[:],
                           preferred_element_type=jnp.float32) + bfc_ref[:])
-        # Per-row minimum decode length: EOS is masked while t < min_len
-        # (StrokesConfig.min_len_scale; (bt, 128) lanes, all equal per
-        # row — Mosaic can't carry (bt, 1) layouts). Inactive rows hold 0,
-        # leaving the logit untouched and the token stream bit-identical.
-        suppress = minlen_ref[:, :1] > t.astype(jnp.float32)
-        eos_col = jax.lax.broadcasted_iota(jnp.int32, (bt, vp), 1) == EOS
-        logits = jnp.where(jnp.logical_and(eos_col, suppress),
-                           NEG_INF, logits)
         tok = jnp.argmax(logits, axis=-1, keepdims=True).astype(jnp.int32)
 
         # --- reference write semantics: active rows record their token
@@ -218,7 +210,7 @@ def _kernel(enc_ref, proj_ref, h0_ref, c0_ref, pmask_ref, minlen_ref,
 
 @functools.partial(jax.jit, static_argnames=("max_length", "block_b",
                                               "interpret", "stream_dtype"))
-def _fused_greedy_decode_tpu(enc, enc_proj, h0, c0, packed, min_len,
+def _fused_greedy_decode_tpu(enc, enc_proj, h0, c0, packed,
                              max_length: int,
                              block_b: int = 8, interpret: bool = False,
                              stream_dtype: str = "bfloat16"):
@@ -248,19 +240,13 @@ def _fused_greedy_decode_tpu(enc, enc_proj, h0, c0, packed, min_len,
         h0 = jnp.pad(h0, ((0, bp - b), (0, 0)))
         c0 = jnp.pad(c0, ((0, bp - b), (0, 0)))
     pmask = (jnp.arange(pp) < p).astype(jnp.float32)[None, :]
-    # Per-row min decode length, broadcast to 128 lanes (pad rows hold 0 =
-    # unconstrained, so padding never lengthens its rows' decodes).
-    if min_len is None:
-        min_len = jnp.zeros((b,), jnp.float32)
-    min_len = jnp.pad(min_len.astype(jnp.float32), ((0, bp - b),))
-    min_len = jnp.broadcast_to(min_len[:, None], (bp, 128))
 
     const = lambda shape: pl.BlockSpec(shape, lambda i: tuple(0 for _ in shape),
                                        memory_space=pltpu.VMEM)
     kern = functools.partial(_kernel, max_length=max_length, buf_len=mlp,
                              hdim=hdim)
 
-    def run_rows(enc_c, proj_c, h0_c, c0_c, ml_c):
+    def run_rows(enc_c, proj_c, h0_c, c0_c):
         cb = enc_c.shape[0]
         preds_c, _ = pl.pallas_call(
             kern,
@@ -275,8 +261,6 @@ def _fused_greedy_decode_tpu(enc, enc_proj, h0, c0, packed, min_len,
                 pl.BlockSpec((block_b, hdim), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
                 const((1, pp)),
-                pl.BlockSpec((block_b, 128), lambda i: (i, 0),
-                             memory_space=pltpu.VMEM),
                 const(packed["watt"].shape), const(packed["batt"].shape),
                 const(packed["v"].shape), const(packed["bv"].shape),
                 const(packed["wf"].shape),
@@ -296,7 +280,7 @@ def _fused_greedy_decode_tpu(enc, enc_proj, h0, c0, packed, min_len,
                 jax.ShapeDtypeStruct((cb, pp), jnp.float32),  # alpha scratch
             ),
             interpret=interpret,
-        )(enc_c, proj_c, h0_c, c0_c, pmask, ml_c,
+        )(enc_c, proj_c, h0_c, c0_c, pmask,
           packed["watt"], packed["batt"], packed["v"], packed["bv"],
           packed["wf"], packed["bf"], packed["wx"], packed["wh"],
           packed["blstm"], packed["emb"], packed["wfc"], packed["bfc"])
@@ -312,36 +296,27 @@ def _fused_greedy_decode_tpu(enc, enc_proj, h0, c0, packed, min_len,
     cap = max(block_b, (256 // block_b) * block_b)
     preds = jnp.concatenate(
         [run_rows(enc[s0:s0 + cap], enc_proj[s0:s0 + cap],
-                  h0[s0:s0 + cap], c0[s0:s0 + cap], min_len[s0:s0 + cap])
+                  h0[s0:s0 + cap], c0[s0:s0 + cap])
          for s0 in range(0, bp, cap)]) if bp > cap else run_rows(
-        enc, enc_proj, h0, c0, min_len)
+        enc, enc_proj, h0, c0)
     return preds[:b, :max_length]
 
 
 def fused_greedy_decode(decoder, variables, enc_seq, max_length: int,
-                        block_b: int = 8, interpret: bool | None = None,
-                        min_len=None, eos_bias: float = 0.0):
+                        block_b: int = 8, interpret: bool | None = None):
     """Drop-in replacement for models.greedy_decode: same (B, max_length)
     int32 output contract, whole decode in one Pallas program. Falls back to
-    the XLA while_loop off-TPU unless ``interpret=True``.
-
-    ``min_len``/``eos_bias`` mirror greedy_decode's coverage levers: the
-    bias folds into the packed vocab-head bias (zero kernel cost), the
-    per-row minimum rides a (B, 128) lane-aligned operand."""
+    the XLA while_loop off-TPU unless ``interpret=True``."""
     from stroke_derenderer_tpu.models.decoder import (
         AttentiveDecoder, greedy_decode,
     )
     if not (interpret or jax.default_backend() == "tpu"):
-        return greedy_decode(decoder, variables, enc_seq, max_length,
-                             min_len=min_len, eos_bias=eos_bias)
+        return greedy_decode(decoder, variables, enc_seq, max_length)
     apply = lambda method, *a: decoder.apply(variables, *a, method=method)
     enc_proj = apply(AttentiveDecoder.project_encoding, enc_seq)
     h0, c0 = apply(AttentiveDecoder.init_state, enc_seq)
     packed = pack_decoder_weights(variables["params"])
-    if eos_bias:
-        packed["bfc"] = packed["bfc"].at[0, EOS].add(-float(eos_bias))
     return _fused_greedy_decode_tpu(enc_seq, enc_proj, h0, c0, packed,
-                                    min_len,
                                     max_length, block_b=block_b,
                                     interpret=bool(interpret),
                                     stream_dtype=jnp.dtype(decoder.dtype).name)
@@ -349,8 +324,7 @@ def fused_greedy_decode(decoder, variables, enc_seq, max_length: int,
 
 def fused_greedy_decode_sharded(decoder, variables, enc_seq,
                                 max_length: int, mesh, block_b: int = 8,
-                                interpret: bool | None = None,
-                                min_len=None, eos_bias: float = 0.0):
+                                interpret: bool | None = None):
     """:func:`fused_greedy_decode` with the glyph batch dp-sharded.
 
     The Pallas kernel is a single-chip program, so under a mesh we
@@ -373,17 +347,13 @@ def fused_greedy_decode_sharded(decoder, variables, enc_seq,
         raise ValueError(
             f"batch {enc_seq.shape[0]} not divisible by dp={dp}")
 
-    if min_len is None:
-        min_len = jnp.zeros((enc_seq.shape[0],), jnp.float32)
-
-    def local(vars_, seq, ml):
+    def local(vars_, seq):
         return fused_greedy_decode(decoder, vars_, seq, max_length,
-                                   block_b=block_b, interpret=interpret,
-                                   min_len=ml, eos_bias=eos_bias)
+                                   block_b=block_b, interpret=interpret)
 
     # check_vma=False: the body is shard-local (no collectives) and its
     # output over unmentioned axes (tp) is replicated by construction,
     # but the checker cannot see through pallas_call.
-    return jax.shard_map(local, mesh=mesh, in_specs=(P(), P("dp"), P("dp")),
+    return jax.shard_map(local, mesh=mesh, in_specs=(P(), P("dp")),
                          out_specs=P("dp"),
-                         check_vma=False)(variables, enc_seq, min_len)
+                         check_vma=False)(variables, enc_seq)

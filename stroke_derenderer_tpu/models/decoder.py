@@ -103,8 +103,7 @@ class AttentiveDecoder(nn.Module):
 
 
 def greedy_decode(decoder: AttentiveDecoder, variables, enc_seq,
-                  max_length: int, fused: bool = False,
-                  min_len=None, eos_bias: float = 0.0) -> jnp.ndarray:
+                  max_length: int, fused: bool = False) -> jnp.ndarray:
     """Batched greedy decode as one on-device while_loop.
 
     enc_seq: (B, P, E) float. Returns (B, max_length) int32 predictions with
@@ -115,11 +114,6 @@ def greedy_decode(decoder: AttentiveDecoder, variables, enc_seq,
     ``fused=True`` routes the attention+gate half of each step through the
     Pallas kernel (kernels/decode_attention.py) — one VMEM pass over the
     encoder sequence per step instead of XLA's two.
-
-    ``min_len`` ((B,) int32, optional) masks the EOS logit for row i while
-    t < min_len[i]; ``eos_bias`` subtracts a constant from the EOS logit at
-    every step. Both default to inactive (bit-identical programs to the
-    reference semantics) — see StrokesConfig.eos_bias/min_len_scale.
     """
     b = enc_seq.shape[0]
     apply = lambda method, *a: decoder.apply(variables, *a, method=method)
@@ -153,11 +147,6 @@ def greedy_decode(decoder: AttentiveDecoder, variables, enc_seq,
             logits, h2, c2 = fused_step(emb, h, c)
         else:
             logits, h2, c2, _ = apply(AttentiveDecoder.step, enc_seq, enc_proj, emb, h, c)
-        if eos_bias:
-            logits = logits.at[:, EOS].add(-eos_bias)
-        if min_len is not None:
-            logits = logits.at[:, EOS].add(
-                jnp.where(t < min_len, -1e30, 0.0))
         tokens = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         preds = preds.at[:, t].set(jnp.where(active, tokens, PAD))
         next_active = jnp.logical_and(active, tokens != EOS)

@@ -145,26 +145,8 @@ class StrokeEstimator:
                       (x - mn) * (255.0 / jnp.maximum(mx - mn, 1e-12)), 0.0)
         return (x[..., None] / 255.0 - mean) / std
 
-    def _min_len(self, crops):
-        """Ink-proportional per-row minimum decode length from raw crops
-        ((N, S, S), values 0..255, ink > 127):
-        min_len = scale * edge_transitions + base
-        (StrokesConfig.min_len_scale/base; 0 = off -> None). The feature is
-        the binary row+column transition count — a thickness-free arc-length
-        proxy (see the config docstring for the cache calibration). Pad or
-        empty rows (no ink) stay unconstrained."""
-        cfg = self.config
-        if cfg.min_len_scale <= 0.0 and cfg.min_len_base <= 0.0:
-            return None
-        b = crops > 127
-        trans = (jnp.sum(b[:, :, 1:] != b[:, :, :-1], axis=(1, 2))
-                 + jnp.sum(b[:, 1:, :] != b[:, :-1, :], axis=(1, 2))
-                 ).astype(jnp.float32)
-        ml = cfg.min_len_scale * trans + cfg.min_len_base
-        return jnp.where(trans > 0, ml, 0.0)
-
     def _encode_and_decode(self, enc_vars, dec_vars, proj_vars, images,
-                           max_length, min_len=None):
+                           max_length):
         """Normalized NHWC crops -> token matrix (shared program tail)."""
         cfg = self.config
         fm = self.encoder.apply(enc_vars, images)            # (B, 7, 7, C)
@@ -207,30 +189,22 @@ class StrokeEstimator:
             if self.mesh is not None:
                 return fused_greedy_decode_sharded(
                     self.decoder, dec_vars, seq, max_length, self.mesh,
-                    block_b=cfg.fused_block_b, min_len=min_len,
-                    eos_bias=cfg.eos_bias)
+                    block_b=cfg.fused_block_b)
             return fused_greedy_decode(self.decoder, dec_vars, seq,
                                        max_length,
-                                       block_b=cfg.fused_block_b,
-                                       min_len=min_len,
-                                       eos_bias=cfg.eos_bias)
-        return greedy_decode(self.decoder, dec_vars, seq, max_length,
-                             min_len=min_len, eos_bias=cfg.eos_bias)
+                                       block_b=cfg.fused_block_b)
+        return greedy_decode(self.decoder, dec_vars, seq, max_length)
 
     @functools.cached_property
     def _estimate(self):
         @functools.partial(jax.jit, static_argnames=("max_length",))
         def run(enc_vars, dec_vars, proj_vars, images, max_length):
-            min_len = None
             if images.dtype == jnp.uint8:
                 # Crops travel host->device as single-channel uint8 (12x
                 # less tunnel traffic than f32 RGB); normalized on device.
-                raw = images.astype(jnp.float32)
-                min_len = self._min_len(raw)
-                images = self._normalize_raw(raw)
+                images = self._normalize_raw(images.astype(jnp.float32))
             return self._encode_and_decode(enc_vars, dec_vars, proj_vars,
-                                           images, max_length,
-                                           min_len=min_len)
+                                           images, max_length)
 
         return run
 
@@ -249,8 +223,7 @@ class StrokeEstimator:
             crops = gather_crops(gid_img, coords, gid_fmt)  # (N,S,S) 0..255
             images = self._normalize_raw(crops)
             return self._encode_and_decode(enc_vars, dec_vars, proj_vars,
-                                           images, max_length,
-                                           min_len=self._min_len(crops)
+                                           images, max_length
                                            ).astype(jnp.int16)
 
         return run
@@ -272,8 +245,7 @@ class StrokeEstimator:
             images = self._normalize_raw(crops)
             # int16 on the wire: vocab 451 fits and the download halves.
             return self._encode_and_decode(enc_vars, dec_vars, proj_vars,
-                                           images, max_length,
-                                           min_len=self._min_len(crops)
+                                           images, max_length
                                            ).astype(jnp.int16)
 
         return run
@@ -524,18 +496,7 @@ class StrokeEstimator:
                 if not extra:  # pass recovered nothing; residual won't shrink
                     break
                 strokes = self._merge_redecoded(strokes, extra)
-        return self._post(strokes, img_bin)
-
-    def _post(self, strokes, img_bin):
-        """Optional post-decode passes, in order: ink-snap refinement
-        (config.refine_snap), then fragment joining (config.join_tol —
-        stitches the nearly-touching fragments the coverage levers emit
-        back into single strokes). Both 0 by default = reference parity."""
-        strokes = self._refine(strokes, img_bin)
-        if self.config.join_tol > 0 and strokes:
-            strokes = sort_strokes(merge_stroke_fragments(
-                strokes, tol=self.config.join_tol))
-        return strokes
+        return self._refine(strokes, img_bin)
 
     def _refine(self, strokes, img_bin):
         """Optional ink-snap refinement (config.refine_snap px; 0 = off).
@@ -579,8 +540,8 @@ class StrokeEstimator:
                     if extra:  # empty pass: residual won't shrink, retire
                         out[i] = self._merge_redecoded(out[i], extra)
                         live.append(i)
-        if self.config.refine_snap > 0 or self.config.join_tol > 0:
-            out = [self._post(s, m) for s, m in zip(out, imgs_bin)]
+        if self.config.refine_snap > 0:
+            out = [self._refine(s, m) for s, m in zip(out, imgs_bin)]
         return out
 
 

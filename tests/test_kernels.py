@@ -173,69 +173,4 @@ def test_fused_beam_kernel_matches_xla():
         assert np.array_equal(a, b), (bs, lp)
 
 
-# ---------------------------------------------------------------------------
-# Decode-time coverage levers (StrokesConfig.eos_bias / min_len_scale)
 
-def test_fused_decode_min_len_and_eos_bias_match_greedy():
-    """XLA greedy and the fused kernel agree token-for-token with a per-row
-    min length + a global EOS bias active."""
-    from stroke_derenderer_tpu.kernels import fused_greedy_decode
-    dec, v = _tiny_decoder(vocab=7, seed=2)
-    enc = jax.random.normal(jax.random.PRNGKey(5), (5, 9, 12))
-    ml = jnp.asarray([0.0, 3.0, 7.0, 1.0, 12.0])
-    g = np.asarray(greedy_decode(dec, v, enc, 14, min_len=ml, eos_bias=0.7))
-    f = np.asarray(fused_greedy_decode(dec, v, enc, 14, block_b=4,
-                                       interpret=True, min_len=ml,
-                                       eos_bias=0.7))
-    assert np.array_equal(g, f)
-
-
-def test_greedy_min_len_delays_eos():
-    """Rows that naturally EOS early must keep decoding until min_len; the
-    lever must actually engage on at least one row across seeds."""
-    from stroke_derenderer_tpu.config import EOS
-    engaged = 0
-    for seed in range(8):
-        dec, v = _tiny_decoder(vocab=7, seed=seed)
-        enc = jax.random.normal(jax.random.PRNGKey(seed + 20), (4, 9, 12))
-        base = np.asarray(greedy_decode(dec, v, enc, 12))
-        k = 6
-        out = np.asarray(greedy_decode(
-            dec, v, enc, 12, min_len=jnp.full((4,), float(k))))
-        for r in range(4):
-            eos_t = np.flatnonzero(out[r] == EOS)
-            if eos_t.size:
-                assert eos_t[0] >= k
-            b_eos = np.flatnonzero(base[r] == EOS)
-            if b_eos.size and b_eos[0] < k:
-                engaged += 1
-    assert engaged > 0
-
-
-def test_min_len_zero_and_no_bias_is_identity():
-    dec, v = _tiny_decoder(vocab=7, seed=4)
-    enc = jax.random.normal(jax.random.PRNGKey(9), (3, 9, 12))
-    base = np.asarray(greedy_decode(dec, v, enc, 10))
-    same = np.asarray(greedy_decode(dec, v, enc, 10,
-                                    min_len=jnp.zeros((3,)), eos_bias=0.0))
-    assert np.array_equal(base, same)
-
-
-def test_pipeline_min_len_math():
-    """_min_len wiring: scale*edge_transitions+base on ink rows, 0
-    (unconstrained) on empty rows."""
-    from types import SimpleNamespace
-    from stroke_derenderer_tpu.config import StrokesConfig
-    from stroke_derenderer_tpu.pipeline.strokes import StrokeEstimator
-    cfg = StrokesConfig(min_len_scale=0.5, min_len_base=4.0)
-    crops = np.zeros((3, 8, 8), np.float32)
-    crops[0, :2, :5] = 255.0  # 2 row transitions + 5 col transitions = 7
-    crops[1, 0, 0] = 255.0    # 1 row + 1 col transition = 2
-    self = SimpleNamespace(config=cfg)
-    ml = np.asarray(StrokeEstimator._min_len(self, jnp.asarray(crops)))
-    assert ml[0] == 0.5 * 7 + 4.0
-    assert ml[1] == 0.5 * 2 + 4.0
-    assert ml[2] == 0.0
-    off = StrokeEstimator._min_len(
-        SimpleNamespace(config=StrokesConfig()), jnp.asarray(crops))
-    assert off is None

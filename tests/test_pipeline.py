@@ -278,34 +278,6 @@ def test_redecode_coverage_merges_residual(device_partition):
         np.testing.assert_array_equal(ay, by)
 
 
-def test_join_tol_stitches_fragments():
-    """config.join_tol > 0: the final per-image strokes run through
-    ops/strokes.merge_stroke_fragments + re-sort — exactly equivalent to
-    applying those to the join-free output, in both the per-image and the
-    batched path; never more strokes than without joining."""
-    import dataclasses
-
-    from stroke_derenderer_tpu.ops.strokes import (merge_stroke_fragments,
-                                                   sort_strokes)
-
-    base = StrokeEstimator(TINY_SE, seed=3)
-    joined = StrokeEstimator(dataclasses.replace(TINY_SE, join_tol=6.0),
-                             seed=3)
-    mask = _line_image(w=500)[:, :, 0] < 128
-    raw = base.process_image(mask)
-    got = joined.process_image(mask)
-    want = sort_strokes(merge_stroke_fragments(raw, tol=6.0)) if raw else raw
-    assert len(got) == len(want) <= len(raw)
-    for (ax, ay), (bx, by) in zip(got, want):
-        np.testing.assert_array_equal(ax, bx)
-        np.testing.assert_array_equal(ay, by)
-    batched = joined.process_images([mask, np.zeros_like(mask)])
-    assert len(batched) == 2 and batched[1] == []
-    for (ax, ay), (bx, by) in zip(got, batched[0]):
-        np.testing.assert_array_equal(ax, bx)
-        np.testing.assert_array_equal(ay, by)
-
-
 def test_redecode_pass_loop_semantics():
     """The multi-pass residual loop (config.redecode_passes): each pass
     decodes the still-uncovered ink; the loop stops at the coverage floor,
