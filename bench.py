@@ -18,9 +18,11 @@ img/s) on the same workload — see BASELINE.md "Measured denominators".
 
 Robustness: the tunneled accelerator can WEDGE (hang, not error) at any
 point — probe, compile, or mid-run. The timed measurement therefore runs in
-a subprocess with a hard timeout and is retried on a three-attempt ladder
-with growing pauses and fresh re-probe budgets; the CPU-fallback line is
-emitted only after all probes and attempts are exhausted.
+a subprocess with a hard timeout and is retried on a four-rung ladder with
+growing pauses and fresh re-probe budgets (~45 min total patience — later
+rungs run even when the first probe sees a dead tunnel, since observed
+outages last 15-25 min and self-recover); the CPU-fallback line is emitted
+only after all probes and attempts are exhausted.
 """
 
 from __future__ import annotations
@@ -461,23 +463,26 @@ def main():
         print(json.dumps({"cpu_images_per_sec": round(ips, 4)}))
         return
 
-    if _tpu_alive():
-        # Three attempts with growing pauses: a wedge mid-compile/mid-run
-        # times out and is retried (transient tunnel drops recover; the
-        # round-3 outage lasted ~20 min and needed a client restart before
-        # the tunnel came back, so later attempts re-probe with a fresh
-        # budget rather than assuming the first probe's health).
-        line = _run_measurement_subprocess(timeout_s=1200.0)
-        for pause, probe_s, run_s in ((30.0, 180.0, 900.0),
-                                      (240.0, 480.0, 900.0)):
-            if line is not None:
-                break
-            time.sleep(pause)
-            if _tpu_alive(total_budget_s=probe_s):
-                line = _run_measurement_subprocess(timeout_s=run_s)
+    # Growing-pause retry ladder. The ladder must run even when the FIRST
+    # probe fails (it used to gate on it): observed tunnel outages last
+    # 15-25 min (round-3 ~20 min; two 2026-08-21 wedges ~14 and ~25 min,
+    # both self-recovered), longer than any single probe budget, so the
+    # later rungs exist precisely for the case where the initial probe
+    # sees a dead tunnel. Total worst-case patience ~45 min, after which
+    # the CPU fallback is printed honestly.
+    line = _run_measurement_subprocess(timeout_s=1200.0) if _tpu_alive() \
+        else None
+    for pause, probe_s, run_s in ((30.0, 180.0, 900.0),
+                                  (240.0, 480.0, 900.0),
+                                  (600.0, 600.0, 900.0)):
         if line is not None:
-            print(line)
-            return
+            break
+        time.sleep(pause)
+        if _tpu_alive(total_budget_s=probe_s):
+            line = _run_measurement_subprocess(timeout_s=run_s)
+    if line is not None:
+        print(line)
+        return
 
     # Accelerator unreachable after the full probe+retry budget (tunnel
     # outage): report the CPU pipeline honestly instead of never printing.
