@@ -195,7 +195,17 @@ def merge_stroke_fragments(strokes: list[Stroke], tol: float = 4.0) -> list[Stro
     predictions — which is exactly what degrades per-stroke DTW matching
     even as ink coverage improves. Merging nearly-touching endpoints
     reassembles those fragments. Not applied to the base (reference-parity)
-    path, whose output contract this would alter."""
+    path, whose output contract this would alter.
+
+    Round-4 calibration (scripts/study_directed_merge.py; mixed n=24
+    seed 0, v9, redecode 0.9): per-stroke DTW falls monotonically with
+    tol up to ~20 px (33.1 at tol 8 → 26.8 at tol 20, turning by 24+) at
+    flat coverage/chamfer — under the matched-pairs + unmatched-penalty
+    metric, leaving fragments UNmerged costs more than an occasional bad
+    junction. A direction-continuity gate on the junction tangents was
+    measured and REJECTED for the same reason: every gated variant left
+    more fragments unmerged and scored worse DTW (+1 to +2) than
+    distance-only at equal tol."""
     strokes = [(np.asarray(x, np.float64), np.asarray(y, np.float64))
                for x, y in strokes if np.asarray(x).size]
     while len(strokes) > 1:

@@ -511,11 +511,17 @@ class StrokeEstimator:
     def _merge_redecoded(self, strokes, extra):
         """Combine base + residual strokes: stitch fragments whose endpoints
         nearly touch (a re-decoded remainder continues a partially traced
-        stroke), then re-sort into writing order."""
+        stroke), then re-sort into writing order.
+
+        The join radius is the round-4 calibrated 20 px (sweep in
+        ops/strokes.merge_stroke_fragments: DTW falls monotonically to
+        tol 20, turning by 24), floored by the old 2*redecode_tol+2
+        coupling so raising redecode_tol still widens the join."""
         if not extra:
             return strokes
-        merged = merge_stroke_fragments(strokes + extra,
-                                        tol=2.0 * self.config.redecode_tol + 2)
+        merged = merge_stroke_fragments(
+            strokes + extra,
+            tol=max(20.0, 2.0 * self.config.redecode_tol + 2))
         return sort_strokes(merged)
 
     def process_images(self, imgs_bin, max_length: int | None = None):
