@@ -470,11 +470,17 @@ def main():
     # later rungs exist precisely for the case where the initial probe
     # sees a dead tunnel. Total worst-case patience ~45 min, after which
     # the CPU fallback is printed honestly.
+    # BENCH_NO_RETRY=1 opts out of the later rungs for environments KNOWN
+    # to have no accelerator (ADVICE r4): a missing tunnel is then reported
+    # as the CPU fallback after one probe instead of ~45 min of patience.
     line = _run_measurement_subprocess(timeout_s=1200.0) if _tpu_alive() \
         else None
-    for pause, probe_s, run_s in ((30.0, 180.0, 900.0),
-                                  (240.0, 480.0, 900.0),
-                                  (600.0, 600.0, 900.0)):
+    ladder = ((30.0, 180.0, 900.0),
+              (240.0, 480.0, 900.0),
+              (600.0, 600.0, 900.0))
+    if os.environ.get("BENCH_NO_RETRY"):
+        ladder = ()
+    for pause, probe_s, run_s in ladder:
         if line is not None:
             break
         time.sleep(pause)

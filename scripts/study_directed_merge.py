@@ -54,17 +54,20 @@ def main() -> None:
         ("tol 24", 24.0),
         ("tol 32", 32.0),
     ]
-    for name, tol_override in VARIANTS:
-        def patched(strokes, tol=4.0, *, _t=tol_override):
-            return base_merge(strokes, tol=_t)
-        pstrokes.merge_stroke_fragments = patched
-        r = evaluate_full(args.models, n=args.n, seed=args.seed,
-                          style="mixed",
-                          se_overrides={"redecode_coverage": 0.9})
-        r["variant"] = name
-        print(json.dumps({k: (round(v, 4) if isinstance(v, float) else v)
-                          for k, v in r.items()}), flush=True)
-    pstrokes.merge_stroke_fragments = base_merge
+    try:  # restore even if evaluate_full raises mid-sweep — the patch
+        # must not leak into whatever the process runs next
+        for name, tol_override in VARIANTS:
+            def patched(strokes, tol=4.0, *, _t=tol_override):
+                return base_merge(strokes, tol=_t)
+            pstrokes.merge_stroke_fragments = patched
+            r = evaluate_full(args.models, n=args.n, seed=args.seed,
+                              style="mixed",
+                              se_overrides={"redecode_coverage": 0.9})
+            r["variant"] = name
+            print(json.dumps({k: (round(v, 4) if isinstance(v, float) else v)
+                              for k, v in r.items()}), flush=True)
+    finally:
+        pstrokes.merge_stroke_fragments = base_merge
 
 
 if __name__ == "__main__":

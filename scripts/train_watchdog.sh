@@ -11,10 +11,20 @@
 #
 # Exits when the trainer exits cleanly (rc 0).
 set -u
+if [ $# -lt 4 ] || [ "$3" != "--" ]; then
+  echo "usage: $0 LOGFILE PIDFILE -- COMMAND [ARGS...]" >&2
+  exit 2
+fi
 LOG="$1"; PIDFILE="$2"; shift 3   # LOGFILE PIDFILE --
 STALL_S="${STALL_S:-300}"
+# A trainer that dies within FAST_S seconds is not a wedge but a
+# persistent failure (bad args, OOM-on-start): give up after MAX_FAST
+# consecutive fast deaths instead of crash-looping forever.
+FAST_S="${FAST_S:-60}"; MAX_FAST="${MAX_FAST:-5}"
+FAST_COUNT=0
 
 while :; do
+  LAUNCH_T=$(date +%s)
   "$@" >> "$LOG" 2>&1 &
   TPID=$!
   echo "$TPID" > "$PIDFILE"
@@ -31,6 +41,15 @@ while :; do
   if wait "$TPID" 2>/dev/null; then
     echo "[watchdog $(date -u +%T)] trainer exited cleanly" >> "$LOG"
     exit 0
+  fi
+  if [ $(( $(date +%s) - LAUNCH_T )) -lt "$FAST_S" ]; then
+    FAST_COUNT=$(( FAST_COUNT + 1 ))
+    if [ "$FAST_COUNT" -ge "$MAX_FAST" ]; then
+      echo "[watchdog $(date -u +%T)] trainer died <${FAST_S}s ${FAST_COUNT}x in a row — giving up" >> "$LOG"
+      exit 1
+    fi
+  else
+    FAST_COUNT=0
   fi
   sleep 10   # then relaunch; train.loop resumes from the last checkpoint
 done

@@ -147,6 +147,15 @@ class StrokesConfig:
     # v8 weights): 3 passes lift coverage 0.79 -> 0.91 and cut chamfer
     # 5.1 -> 4.4 px over a single pass at unchanged per-stroke DTW.
     redecode_passes: int = 3
+    # Fragment-join radius for merging residual-pass strokes into the base
+    # decode (ops/strokes.merge_stroke_fragments). 20 px is the round-4
+    # sweep optimum on mixed n=24 seed 0 (DTW falls monotonically to 20,
+    # turns by 24), cross-checked on the real-ink set — but it will merge
+    # ANY stroke pair with endpoints that close, so dense text layouts
+    # (adjacent glyphs, i-dots) may want it lower. The effective radius is
+    # max(redecode_join_tol, 2*redecode_tol + 2) so raising redecode_tol
+    # still widens the join.
+    redecode_join_tol: float = 20.0
 
     # TPU execution.
     compute_dtype: str = "bfloat16"
@@ -214,6 +223,7 @@ class StrokesConfig:
     EXEC_FIELDS = ("decode", "beam_size", "length_penalty", "glyph_bucket",
                    "device_partition", "fused_decode", "fused_block_b",
                    "redecode_coverage", "redecode_tol", "redecode_passes",
+                   "redecode_join_tol",
                    "quant", "io_chunks", "refine_snap", "gid_rle")
 
     @classmethod

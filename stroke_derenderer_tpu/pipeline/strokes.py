@@ -513,15 +513,17 @@ class StrokeEstimator:
         nearly touch (a re-decoded remainder continues a partially traced
         stroke), then re-sort into writing order.
 
-        The join radius is the round-4 calibrated 20 px (sweep in
-        ops/strokes.merge_stroke_fragments: DTW falls monotonically to
-        tol 20, turning by 24), floored by the old 2*redecode_tol+2
-        coupling so raising redecode_tol still widens the join."""
+        The join radius is config.redecode_join_tol (default: the round-4
+        calibrated 20 px; see the field's comment for the sweep and the
+        dense-layout overmerge caveat), floored by the old
+        2*redecode_tol+2 coupling so raising redecode_tol still widens
+        the join."""
         if not extra:
             return strokes
         merged = merge_stroke_fragments(
             strokes + extra,
-            tol=max(20.0, 2.0 * self.config.redecode_tol + 2))
+            tol=max(self.config.redecode_join_tol,
+                    2.0 * self.config.redecode_tol + 2))
         return sort_strokes(merged)
 
     def process_images(self, imgs_bin, max_length: int | None = None):

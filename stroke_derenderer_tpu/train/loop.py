@@ -116,6 +116,120 @@ class _Ema:
         self.params = self._step(self.params, params, float(step))
 
 
+def _partial_merge(dst, src, path=""):
+    """Recursively copy every leaf of ``src`` into ``dst`` where the key
+    path exists in ``dst`` with the same array shape; leaves of ``dst``
+    with no (shape-compatible) source keep their fresh init. Returns
+    (merged, copied_paths, skipped_paths). This is the capacity-growth
+    warm start: e.g. resnet18 -> resnet34 shares the stem + the first
+    blocks of stage 0 by name (flax auto-numbers BasicBlock_N
+    sequentially), and a same-dims decoder transfers wholesale."""
+    if isinstance(dst, dict):
+        merged, copied, skipped = {}, [], []
+        src = src if isinstance(src, dict) else {}
+        for k, v in dst.items():
+            if k in src:
+                m, c, s = _partial_merge(v, src[k], f"{path}/{k}")
+                merged[k] = m
+                copied += c
+                skipped += s
+            else:
+                merged[k] = v
+                skipped.append(f"{path}/{k}")
+        return merged, copied, skipped
+    if src is not None and np.shape(dst) == np.shape(src):
+        return np.asarray(src).astype(np.asarray(dst).dtype), [path], []
+    return dst, [], [path]
+
+
+def _deepen_remap(src_arch: str, dst_arch: str):
+    """(rename, extra) for growing a basic-block ResNet DEEPER with
+    function preservation (Net2DeeperNet): flax auto-numbers BasicBlock_N
+    sequentially across stages, so going 18 -> 34 shifts every name after
+    stage 0 and a naive name match copies almost nothing. Instead map
+    blocks STAGE-ALIGNED — dst stage-s block-j takes src stage-s block-j —
+    and list the dst blocks with no source ("extra"); zeroing an extra
+    block's final GroupNorm makes it an exact identity (its input is
+    post-relu, so relu(0 + x) = x), so the grown encoder initially
+    computes exactly what the source did. Returns None when the archs
+    aren't a compatible basic/basic deepening."""
+    from stroke_derenderer_tpu.models.encoder import ARCHS
+    if src_arch not in ARCHS or dst_arch not in ARCHS:
+        return None
+    skind, sstages, sstem, _ = ARCHS[src_arch]
+    dkind, dstages, dstem, _ = ARCHS[dst_arch]
+    if (skind, dkind) != ("basic", "basic") or sstem != dstem \
+            or len(sstages) != len(dstages) \
+            or any(d < s for s, d in zip(sstages, dstages)):
+        return None
+    rename, extra = {}, []
+    si = di = 0
+    for s, (sn, dn) in enumerate(zip(sstages, dstages)):
+        for j in range(dn):
+            if j < sn:
+                rename[f"BasicBlock_{di}"] = f"BasicBlock_{si + j}"
+            else:
+                extra.append(f"BasicBlock_{di}")
+            di += 1
+        si += sn
+    return rename, extra
+
+
+def _partial_warm_start(params: dict, model_dir: Path,
+                        dst_encoder_arch: str | None = None):
+    """Shape-matched warm start from a possibly DIFFERENT architecture's
+    model dir (msgpack_restore raw trees — no template, so no structure
+    mismatch errors). Unlike --init-from, the target architecture comes
+    from the CLI flags, not the source dir's config JSON. When the
+    encoder growth is a compatible basic-ResNet deepening, blocks map
+    stage-aligned and the extra blocks zero-init to identities
+    (_deepen_remap), so training starts at the source model's quality."""
+    import json
+
+    import flax.serialization
+
+    def raw(name):
+        t = flax.serialization.msgpack_restore(
+            (model_dir / name).read_bytes())
+        return t.get("params", t)
+
+    remap = None
+    cfg_p = model_dir / "configs_strokes.json"
+    if dst_encoder_arch and cfg_p.exists():
+        src_arch = json.loads(cfg_p.read_text()).get("encoder_arch")
+        if src_arch and src_arch != dst_encoder_arch:
+            remap = _deepen_remap(src_arch, dst_encoder_arch)
+            if remap:
+                log.info("deepen warm start: %s -> %s, %d blocks "
+                         "stage-mapped, %d extra blocks zero-init to "
+                         "identity", src_arch, dst_encoder_arch,
+                         len(remap[0]), len(remap[1]))
+
+    out = {}
+    for part, fname in (("encoder", "strokes_encoder.msgpack"),
+                        ("decoder", "strokes_decoder.msgpack")):
+        src = raw(fname)
+        if part == "encoder" and remap:
+            rename = remap[0]
+            src = {**{k: v for k, v in src.items()
+                      if not k.startswith("BasicBlock_")},
+                   **{k: src[v] for k, v in rename.items()}}
+        merged, copied, skipped = _partial_merge(params[part], src)
+        if part == "encoder" and remap:
+            for blk in remap[1]:  # identity-init the extra blocks
+                gn = merged[blk]["GroupNorm_1"]
+                gn["scale"] = np.zeros_like(gn["scale"])
+                gn["bias"] = np.zeros_like(gn["bias"])
+        n_total = len(jax.tree.leaves(params[part]))
+        log.info("partial warm start %s from %s: %d/%d leaves copied "
+                 "(%d fresh)", part, model_dir, len(copied), n_total,
+                 len(skipped))
+        if skipped:
+            log.info("  fresh-init (first 8): %s", skipped[:8])
+        out[part] = merged
+    return out
+
+
 def _restore_with_ema(last, params, opt_state, ema_decay):
     """restore_checkpoint wrapper returning (step, params, opt, ema-or-None);
     the ema slot is None when ema is off or the checkpoint predates it."""
@@ -220,6 +334,7 @@ def train_captioner(config: StrokesConfig, steps: int, batch_size: int,
                     ckpt_keep: int = 0,
                     log_every: int = 25, glyph_mode: str = "partitioned",
                     init_from: str | Path | None = None,
+                    init_partial: str | Path | None = None,
                     coord_sigma: float = 0.0,
                     sample_prob: float = 0.0,
                     glyph_style: str = "mixed", mesh=None,
@@ -241,6 +356,9 @@ def train_captioner(config: StrokesConfig, steps: int, batch_size: int,
                 p / "strokes_decoder.msgpack")["params"],
         }
         log.info("warm-started captioner from %s", p)
+    elif init_partial is not None:
+        params = _partial_warm_start(params, Path(init_partial),
+                                     dst_encoder_arch=config.encoder_arch)
     tx = optax.adamw(optax.warmup_cosine_decay_schedule(
         0.0, lr, min(100, steps // 10 + 1), steps))
     opt_state = tx.init(params)
@@ -366,6 +484,14 @@ def main(argv=None):
                          "list) — small values make smoke-training cheap")
     ap.add_argument("--seq-len", type=int, default=96,
                     help="teacher-forcing sequence length (captioner)")
+    ap.add_argument("--init-partial", default=None, metavar="MODELDIR",
+                    help="shape-matched warm start from a possibly "
+                         "different-architecture model dir: leaves whose "
+                         "path+shape match are copied, the rest keep their "
+                         "fresh init. The NEW architecture comes from "
+                         "--encoder-arch/--se-dims (the source dir's config "
+                         "JSON is NOT adopted, unlike --init-from). "
+                         "Captioner only.")
     ap.add_argument("--init-from", default=None, metavar="MODELDIR",
                     help="warm-start params from a model dir (binarizer "
                          "and/or captioner); the dir's config JSONs are "
@@ -481,6 +607,7 @@ def main(argv=None):
                         args.steps, args.batch,
                         args.out, args.lr, seed, seq_len=args.seq_len,
                         init_from=args.init_from,
+                        init_partial=args.init_partial,
                         coord_sigma=args.coord_smoothing,
                         sample_prob=args.scheduled_sampling,
                         glyph_style=args.glyph_style, mesh=mesh,
