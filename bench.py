@@ -213,7 +213,7 @@ def measure(platform: str | None = None, n_images: int = N_IMAGES,
     # with host<->device wire bytes per stage from the pipelines' ledger.
     t_bin: list = []
     t_se: list = []
-    led_bin = led_se = (0, 0)
+    led_bin = led_se = (0, 0, 0, 0)
     for _ in range(repeats):
         snap = LEDGER.snapshot()
         t0 = time.time()
@@ -247,9 +247,60 @@ def measure(platform: str | None = None, n_images: int = N_IMAGES,
         "wire_binarize_down_B_per_image": int(led_bin[1] // per),
         "wire_strokes_up_B_per_image": int(led_se[0] // per),
         "wire_strokes_down_B_per_image": int(led_se[1] // per),
+        # Transfer-site sync events per image (ledger event counts): with
+        # the probed round-trip they bound the stage's dispatch floor.
+        "wire_binarize_syncs_per_image": round((led_bin[2] + led_bin[3])
+                                               / per, 3),
+        "wire_strokes_syncs_per_image": round((led_se[2] + led_se[3])
+                                              / per, 3),
         "repeats": repeats,
         "protocol": "median",
     }
+
+
+def apply_wire_floors(st: dict, probes: list) -> dict:
+    """Apply docs/TRANSFER_BOUND.md's floor formula to a stage capture:
+
+        transfer_floor_s = up_B/up_MBps + down_B/down_MBps
+        dispatch_floor_s = n_syncs x (roundtrip/2)
+
+    per stage, against the BEST wire conditions among the given probes
+    (max bandwidth, min round-trip — a true lower bound; each ledger event
+    is at least a one-way hop, hence roundtrip/2). Returns the fields to
+    stamp: per-stage floor seconds, floor-implied ips, and the residual
+    fraction of measured wall NOT explained by the floor. A residual
+    under ~0.15 means the stage sits on its wire floor (wire-bound, not a
+    code regression); larger residuals name recoverable host/dispatch
+    time (VERDICT r4 item 4)."""
+    ps = [p for p in probes if isinstance(p, dict) and "up_MBps" in p]
+    if not ps:
+        return {"wire_floor_error": "no successful tunnel probe"}
+    up_bw = max(p["up_MBps"] for p in ps) * 1e6
+    down_bw = max(p["down_MBps"] for p in ps) * 1e6
+    rtt_s = min(p["roundtrip_ms"] for p in ps) / 1e3
+    out = {}
+    for stage, ips_key in (("binarize", "binarize_only_ips"),
+                           ("strokes", "strokes_only_ips")):
+        ips = st.get(ips_key)
+        up = st.get(f"wire_{stage}_up_B_per_image")
+        down = st.get(f"wire_{stage}_down_B_per_image")
+        syncs = st.get(f"wire_{stage}_syncs_per_image")
+        if not ips or up is None or down is None or syncs is None:
+            continue
+        tfloor = up / up_bw + down / down_bw
+        dfloor = syncs * rtt_s / 2.0
+        measured = 1.0 / ips
+        out[f"floor_{stage}_transfer_s_per_image"] = round(tfloor, 5)
+        out[f"floor_{stage}_dispatch_s_per_image"] = round(dfloor, 5)
+        out[f"floor_{stage}_ips"] = round(1.0 / max(tfloor + dfloor, 1e-9),
+                                          2)
+        out[f"floor_{stage}_residual_frac"] = round(
+            max(0.0, measured - tfloor - dfloor) / measured, 4)
+    if out:
+        out["floor_probe_used"] = {"up_MBps": round(up_bw / 1e6, 1),
+                                   "down_MBps": round(down_bw / 1e6, 1),
+                                   "roundtrip_ms": round(rtt_s * 1e3, 2)}
+    return out
 
 
 def _mfu_stats(ips: float, bin_ips: float, se_ips: float,
@@ -342,10 +393,54 @@ def run_worker() -> None:
     else:
         stages["n64"] = {"skipped": f"n=8 pass took {elapsed:.0f}s > 600s "
                                     "(cold compile cache)"}
+    # Chip-busy stamp (VERDICT r4 item 5): one traced pass per stage with
+    # the warmed programs; the parsed device-track busy time keeps the
+    # fused-UNet-forward deferral falsifiable per round (revisit the kernel
+    # when chip-busy exceeds ~30% of stage wall — docs/TRANSFER_BOUND.md).
+    try:
+        import shutil
+        import tempfile
+
+        from stroke_derenderer_tpu.ops.resize import resize_to_height_np
+        from stroke_derenderer_tpu.utils.profiling import (
+            chip_busy_ms, device_trace,
+        )
+        imgs = make_images(N_IMAGES)
+        masks = [resize_to_height_np(im, 128)[:, :, 0] < 128 for im in imgs]
+        binarizer, estimator = sessions
+        for stage, fn in (("binarize",
+                           lambda: binarizer.binarize_images(imgs)),
+                          ("strokes",
+                           lambda: estimator.process_images(
+                               masks, max_length=DECODE_STEPS))):
+            tdir = tempfile.mkdtemp(prefix=f"bench_trace_{stage}_")
+            try:
+                t0 = time.time()
+                with device_trace(tdir):
+                    fn()
+                wall_ms = (time.time() - t0) * 1e3
+                busy = chip_busy_ms(tdir)
+                stages[f"chip_busy_ms_{stage}"] = (
+                    round(busy, 2) if busy is not None else None)
+                stages[f"chip_busy_wall_ms_{stage}"] = round(wall_ms, 1)
+                if busy is not None and wall_ms > 0:
+                    stages[f"chip_busy_frac_{stage}"] = round(
+                        busy / wall_ms, 4)
+            finally:
+                shutil.rmtree(tdir, ignore_errors=True)
+    except Exception as e:  # telemetry only; never fail the bench
+        stages["chip_busy_error"] = repr(e)
+
     try:
         stages["tunnel_post"] = tunnel_probe()
     except Exception as e:
         stages["tunnel_post"] = {"error": repr(e)}
+    # Wire floors (VERDICT r4 item 4): measured-vs-floor per stage under
+    # the capture's own probed conditions, for the n=8 and n=64 workloads.
+    probes = [pre, stages.get("tunnel_post")]
+    stages.update(apply_wire_floors(stages, probes))
+    if isinstance(stages.get("n64"), dict) and "e2e_ips" in stages["n64"]:
+        stages["n64"].update(apply_wire_floors(stages["n64"], probes))
     try:  # per-stage numbers for regression tracking (never on stdout)
         with open(os.path.join(os.path.dirname(__file__) or ".",
                                "BENCH_STAGES.json"), "w") as f:

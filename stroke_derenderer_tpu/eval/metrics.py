@@ -141,6 +141,94 @@ def stroke_dtw(pred_strokes, target_strokes) -> float:
     return float(np.mean(total)) if total else float("inf")
 
 
+def _prep_strokes(strokes) -> list:
+    return [np.stack([np.asarray(x, np.float64), np.asarray(y, np.float64)],
+                     -1)
+            for x, y in strokes if np.asarray(x).size]
+
+
+def stroke_dtw_assigned(pred_strokes, target_strokes) -> float:
+    """`stroke_dtw` with OPTIMAL one-to-one matching (Hungarian assignment
+    on the same orientation-insensitive DTW matrix) instead of the greedy
+    first-seen scan. The greedy-vs-assigned gap isolates how much of the
+    headline DTW is matching-procedure suboptimality rather than model
+    error (VERDICT r4 item 3: the deficit is in how predicted polylines
+    PAIR with ground truth — reference ordering contract
+    partition.py:159-216). Unmatched strokes are charged the same
+    best-against-the-whole-other-set penalty as `stroke_dtw`."""
+    from scipy.optimize import linear_sum_assignment
+
+    pred, tgt = _prep_strokes(pred_strokes), _prep_strokes(target_strokes)
+    if not pred and not tgt:
+        return 0.0
+    if not pred or not tgt:
+        return float("inf")
+    mat = _dtw_pairwise(pred, tgt)  # (P, T)
+    rows, cols = linear_sum_assignment(mat)
+    dists = [float(mat[i, j]) for i, j in zip(rows, cols)]
+    penalties = [float(mat[i].min())
+                 for i in range(len(pred)) if i not in set(rows)]
+    penalties += [float(mat[:, j].min())
+                  for j in range(len(tgt)) if j not in set(cols)]
+    total = dists + penalties
+    return float(np.mean(total)) if total else float("inf")
+
+
+def stroke_dtw_split(pred_strokes, target_strokes) -> float:
+    """Fragmentation-forgiving DTW: MANY-to-one matching. Every predicted
+    stroke joins the ground-truth stroke it lies nearest (mean distance of
+    its points to the densified target); the fragments assigned to one
+    target are concatenated in target-arclength order, each oriented to
+    advance along the target, and the concatenation scores ONE DTW against
+    that target. A model that traces the right ink as three fragments
+    scores here as if it drew one stroke — so the assigned-vs-split gap is
+    the SPLIT share of the DTW deficit, and what `stroke_dtw_split` itself
+    retains above chamfer is geometry/continuity error. Targets no
+    fragment chose are charged their best DTW against the whole predicted
+    set (missed-stroke penalty, same convention as `stroke_dtw`)."""
+    pred, tgt = _prep_strokes(pred_strokes), _prep_strokes(target_strokes)
+    if not pred and not tgt:
+        return 0.0
+    if not pred or not tgt:
+        return float("inf")
+
+    # Densified targets, with arclength position per densified point so
+    # fragments can be ordered/oriented along the target's own flow.
+    dtgts = []
+    for t in tgt:
+        d = _densify([(t[:, 0], t[:, 1])])
+        seg = np.linalg.norm(np.diff(d, axis=0), axis=1)
+        arl = np.concatenate([[0.0], np.cumsum(seg)])
+        dtgts.append((d, arl))
+
+    # Assign each fragment to its nearest target; record where along that
+    # target its endpoints project.
+    groups: dict[int, list] = {}
+    for p in pred:
+        best_j, best_d = -1, np.inf
+        for j, (d, _) in enumerate(dtgts):
+            dist = float(np.linalg.norm(p[:, None, :] - d[None, :, :],
+                                        axis=-1).min(axis=1).mean())
+            if dist < best_d:
+                best_j, best_d = j, dist
+        d, arl = dtgts[best_j]
+        ends = np.linalg.norm(p[[0, -1], None, :] - d[None, :, :], axis=-1)
+        pos0, pos1 = arl[ends[0].argmin()], arl[ends[1].argmin()]
+        frag = p if pos0 <= pos1 else p[::-1]
+        groups.setdefault(best_j, []).append((min(pos0, pos1), frag))
+
+    dists = []
+    unmatched = [j for j in range(len(tgt)) if j not in groups]
+    for j, frags in groups.items():
+        frags.sort(key=lambda it: it[0])
+        joined = np.concatenate([f for _, f in frags])
+        dists.append(_dtw(joined, tgt[j]))
+    if unmatched:
+        mat = _dtw_pairwise(pred, tgt)
+        dists += [float(mat[:, j].min()) for j in unmatched]
+    return float(np.mean(dists)) if dists else float("inf")
+
+
 def strokes_chamfer(pred_strokes, target_strokes) -> float:
     """Symmetric chamfer distance over all stroke points (order-free
     sanity metric; DTW is the headline one)."""

@@ -17,7 +17,8 @@ import numpy as np
 
 from stroke_derenderer_tpu.cli import initialize_sessions
 from stroke_derenderer_tpu.eval import (
-    binarization_f1, stroke_coverage, stroke_dtw, strokes_chamfer,
+    binarization_f1, stroke_coverage, stroke_dtw, stroke_dtw_assigned,
+    stroke_dtw_split, strokes_chamfer,
 )
 
 
@@ -69,6 +70,7 @@ def evaluate_full(models_dir, n: int = 50, seed: int = 0,
     # Stroke metrics across the glyph-group width spectrum: narrow isolated
     # glyphs through whole-line-wide groups (small resize ratios).
     dtws, chamfers, coverages = [], [], []
+    dtws_asg, dtws_split = [], []
     widths_cycle = [h, 2 * h, 4 * h]
     pts = 40 if dense else 24
     for i in range(n):
@@ -96,6 +98,10 @@ def evaluate_full(models_dir, n: int = 50, seed: int = 0,
         dtws.append(d if np.isfinite(d) else None)
         chamfers.append(c if np.isfinite(c) else None)
         coverages.append(stroke_coverage(pred_strokes, strokes))
+        a = stroke_dtw_assigned(pred_strokes, strokes)
+        s = stroke_dtw_split(pred_strokes, strokes)
+        dtws_asg.append(a if np.isfinite(a) else None)
+        dtws_split.append(s if np.isfinite(s) else None)
 
     def _mean(xs):
         xs = [x for x in xs if x is not None]
@@ -112,6 +118,12 @@ def evaluate_full(models_dir, n: int = 50, seed: int = 0,
                                   / max(len(dtw_ok), 1) ** 0.5)
                             if len(dtw_ok) > 1 else None),
         "stroke_dtw_failures": sum(x is None for x in dtws),
+        # Attribution pair (VERDICT r4 item 3): optimal one-to-one pairing
+        # (greedy-vs-assigned gap = matching suboptimality) and
+        # fragmentation-forgiving many-to-one (assigned-vs-split gap =
+        # split cost; split-vs-chamfer residue = geometry).
+        "stroke_dtw_assigned": _mean(dtws_asg),
+        "stroke_dtw_split": _mean(dtws_split),
         "stroke_chamfer": _mean(chamfers),
         "stroke_coverage": _mean(coverages),
     }
@@ -134,6 +146,7 @@ def evaluate_real(models_dir, data_dir, se_overrides: dict | None = None,
     h = binarizer.config.height
 
     f1s, dtws, chamfers, coverages = [], [], [], []
+    dtws_asg, dtws_split = [], []
     for png, sj in pairs:
         img_rs, mask, strokes = load_pair(png, sj, h)
         out = binarizer.binarize_image(img_rs)
@@ -145,6 +158,10 @@ def evaluate_real(models_dir, data_dir, se_overrides: dict | None = None,
         dtws.append(d if np.isfinite(d) else None)
         chamfers.append(c if np.isfinite(c) else None)
         coverages.append(stroke_coverage(pred_strokes, strokes))
+        a = stroke_dtw_assigned(pred_strokes, strokes)
+        s = stroke_dtw_split(pred_strokes, strokes)
+        dtws_asg.append(a if np.isfinite(a) else None)
+        dtws_split.append(s if np.isfinite(s) else None)
 
     def _mean(xs):
         xs = [x for x in xs if x is not None]
@@ -159,6 +176,8 @@ def evaluate_real(models_dir, data_dir, se_overrides: dict | None = None,
                                   / max(len(dtw_ok), 1) ** 0.5)
                             if len(dtw_ok) > 1 else None),
         "stroke_dtw_failures": sum(x is None for x in dtws),
+        "stroke_dtw_assigned": _mean(dtws_asg),
+        "stroke_dtw_split": _mean(dtws_split),
         "stroke_chamfer": _mean(chamfers),
         "stroke_coverage": _mean(coverages),
     }

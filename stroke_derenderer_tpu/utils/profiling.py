@@ -64,6 +64,12 @@ class TransferLedger:
     def __init__(self):
         self.up = 0
         self.down = 0
+        # Transfer-site EVENT counts (one per add_up/add_down call ≈ one
+        # blocking host<->device sync): with the probed round-trip latency
+        # these bound a stage's dispatch floor the same way byte counts
+        # bound its transfer floor (docs/TRANSFER_BOUND.md).
+        self.n_up = 0
+        self.n_down = 0
 
     @staticmethod
     def _nbytes(arrays) -> int:
@@ -79,15 +85,23 @@ class TransferLedger:
 
     def add_up(self, *arrays) -> None:
         self.up += self._nbytes(arrays)
+        self.n_up += 1
 
     def add_down(self, *arrays) -> None:
         self.down += self._nbytes(arrays)
+        self.n_down += 1
 
-    def snapshot(self) -> tuple[int, int]:
-        return (self.up, self.down)
+    def snapshot(self) -> tuple[int, int, int, int]:
+        return (self.up, self.down, self.n_up, self.n_down)
 
-    def delta(self, since: tuple[int, int]) -> tuple[int, int]:
-        return (self.up - since[0], self.down - since[1])
+    def delta(self, since) -> tuple[int, int, int, int]:
+        # Tolerates old 2-tuple snapshots (event counters then read as
+        # absolute), but every in-repo caller passes the 4-tuple.
+        up0, down0 = since[0], since[1]
+        nu0 = since[2] if len(since) > 2 else 0
+        nd0 = since[3] if len(since) > 3 else 0
+        return (self.up - up0, self.down - down0,
+                self.n_up - nu0, self.n_down - nd0)
 
 
 LEDGER = TransferLedger()
@@ -102,3 +116,53 @@ def device_trace(log_dir: str):
         yield
     finally:
         jax.profiler.stop_trace()
+
+
+def chip_busy_ms(trace_dir: str) -> float | None:
+    """Device-busy milliseconds from the newest ``jax.profiler`` trace under
+    ``trace_dir``: the measure-union of op intervals on accelerator tracks
+    in the Chrome trace (nested/overlapping events counted once, host /
+    python tracks excluded). Returns None when no trace or no device track
+    exists. This is the per-round chip-busy stamp VERDICT r4 item 5 asks
+    for: the §7-item-6 deferral (fused UNet forward) rests on chip-busy
+    being a small fraction of stage wall, and that must be re-measured
+    every capture, not once."""
+    import gzip
+    import json
+    from pathlib import Path
+
+    traces = sorted(Path(trace_dir).rglob("*.trace.json.gz"),
+                    key=lambda p: p.stat().st_mtime)
+    if not traces:
+        return None
+    with gzip.open(traces[-1], "rt") as f:
+        events = json.load(f).get("traceEvents", [])
+
+    # pid -> process name from metadata events; device = TPU/accelerator.
+    names: dict = {}
+    for e in events:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            names[e.get("pid")] = str(e.get("args", {}).get("name", ""))
+
+    def is_device(pid) -> bool:
+        n = names.get(pid, "").lower()
+        if not n:
+            return False
+        if "host" in n or "python" in n or "plugin" in n:
+            return False
+        return "tpu" in n or "/device:" in n or "accelerator" in n
+
+    iv = sorted((float(e["ts"]), float(e["ts"]) + float(e.get("dur", 0)))
+                for e in events
+                if e.get("ph") == "X" and is_device(e.get("pid")))
+    if not iv:
+        return None
+    busy, cur_s, cur_e = 0.0, iv[0][0], iv[0][1]
+    for s, t in iv[1:]:
+        if s > cur_e:
+            busy += cur_e - cur_s
+            cur_s, cur_e = s, t
+        else:
+            cur_e = max(cur_e, t)
+    busy += cur_e - cur_s
+    return busy / 1e3  # trace timestamps are microseconds
