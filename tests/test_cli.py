@@ -123,3 +123,29 @@ def test_cli_two_stage(model_dir, input_dir, tmp_path, capsys):
         sb = json.loads((two / f"{n}_STROKES.json").read_text())
         assert sa == sb
     assert "two-stage amortized" in capsys.readouterr().out
+
+
+def test_cli_preset_real(model_dir, input_dir, tmp_path, monkeypatch):
+    """--preset real turns on the calibrated residual re-decode; explicit
+    --redecode still wins over the preset."""
+    import stroke_derenderer_tpu.cli as cli
+    seen = {}
+    orig = cli.initialize_sessions
+
+    def spy(folderpath, **kw):
+        seen.update(kw.get("se_overrides") or {})
+        return orig(folderpath, **kw)
+
+    monkeypatch.setattr(cli, "initialize_sessions", spy)
+    rc = entrypoint(["-models", str(model_dir), "-input", str(input_dir),
+                     "--output", str(tmp_path), "--preset", "real"])
+    assert rc == 0
+    assert seen["redecode_coverage"] == 0.9
+    _check_outputs(tmp_path, ["a", "b"])
+
+    seen.clear()
+    rc = entrypoint(["-models", str(model_dir), "-input", str(input_dir),
+                     "--output", str(tmp_path), "--preset", "real",
+                     "--redecode", "0.5"])
+    assert rc == 0
+    assert seen["redecode_coverage"] == 0.5
