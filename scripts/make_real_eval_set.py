@@ -55,6 +55,48 @@ CROPS = [
     ("real07_it_is", "binarization.png", (95, 21, 285, 99)),
     ("real08_their", "binarization.png", (290, 21, 492, 99)),
     ("real09_hearts", "binarization.png", (495, 21, 788, 99)),
+    # ---- round-5 growth to 44 crops (VERDICT r4 item 2): word, bigram,
+    # sub-word-fragment and margin/scale variants across all three
+    # backgrounds. Word x-spans were column-profile-detected on the ink
+    # mask (gap >= 10 px), then hand-adjusted against rendered overlays
+    # (docs/real_data_overlay*.png). Fragment and loose/tight variants are
+    # DELIBERATELY correlated with the word crops (same ink, different
+    # crop framing → different resize ratio/partitioning); the eval README
+    # records that correlation caveat for CI interpretation.
+    ("real10_it", "binarization.png", (93, 21, 156, 99)),
+    ("real11_is", "binarization.png", (188, 21, 265, 99)),
+    ("real12_is_their", "binarization.png", (188, 21, 488, 99)),
+    ("real13_their_hearts", "binarization.png", (294, 21, 788, 99)),
+    ("real14_h", "binarization.png", (520, 21, 573, 99)),
+    ("real15_earts", "binarization.png", (572, 21, 788, 99)),
+    ("real16_it_wide", "binarization.png", (93, 21, 225, 99)),
+    ("real17_hearts_tight", "binarization.png", (520, 21, 697, 99)),
+    ("real18_write_sample", "plot1.png", (117, 6, 376, 54)),
+    ("real19_sample_text", "plot1.png", (242, 6, 492, 54)),
+    ("real20_text_here", "plot1.png", (406, 6, 609, 54)),
+    ("real21_write_sample_text", "plot1.png", (117, 6, 492, 54)),
+    ("real22_s_frag", "plot1.png", (242, 6, 283, 54)),
+    ("real23_le_frag", "plot1.png", (335, 6, 376, 54)),
+    ("real24_write_tight", "plot1.png", (119, 6, 209, 54)),
+    ("real25_write_g", "plot2.png", (122, 7, 227, 53)),
+    ("real26_sample_g", "plot2.png", (269, 7, 385, 53)),
+    ("real27_text_g", "plot2.png", (408, 7, 485, 53)),
+    ("real28_here_g", "plot2.png", (517, 7, 604, 53)),
+    ("real29_write_sample_g", "plot2.png", (122, 7, 385, 53)),
+    ("real30_sample_text_g", "plot2.png", (269, 7, 485, 53)),
+    ("real31_text_here_g", "plot2.png", (408, 7, 604, 53)),
+    ("real32_sam_g", "plot2.png", (269, 7, 349, 53)),
+    ("real33_ple_g", "plot2.png", (349, 7, 385, 53)),
+    ("real34_line_hearts_inner", "binarization.png", (95, 25, 788, 95)),
+    ("real35_line_grid_inner", "plot1.png", (120, 10, 609, 50)),
+    ("real36_line_gray_inner", "plot2.png", (122, 11, 604, 51)),
+    ("real37_their_loose", "binarization.png", (270, 21, 510, 99)),
+    ("real38_sample_loose", "plot1.png", (230, 6, 380, 54)),
+    ("real39_text_loose", "plot1.png", (395, 6, 500, 54)),
+    ("real40_here_g_loose", "plot2.png", (500, 7, 604, 53)),
+    ("real41_write_sample_text_g", "plot2.png", (122, 7, 485, 53)),
+    ("real42_it_is_their", "binarization.png", (93, 21, 488, 99)),
+    ("real43_line_pink_tight", "binarization.png", (97, 21, 693, 99)),
 ]
 
 # 8-neighbour offsets in clockwise order (Zhang-Suen's P2..P9).
@@ -197,6 +239,10 @@ def main() -> None:
         Image.fromarray(rgb).save(out / f"{stem}.png")
 
         mask = ink_mask(rgb)
+        # Crop borders are figure furniture (frame lines, gradient edges),
+        # never ink: the round-5 overlay review caught border columns being
+        # traced as spurious vertical/horizontal strokes on three crops.
+        mask[:2], mask[-2:], mask[:, :2], mask[:, -2:] = 0, 0, 0, 0
         # mask at the height-normalized frame (data/real.py contract)
         mask_rs = resize_to_height_np((mask * 255).astype(np.uint8)[..., None],
                                       args.height)[..., 0] > 127
@@ -209,9 +255,18 @@ def main() -> None:
         strokes = [rdp(p, args.rdp_eps) for p in trace_paths(skel)]
         strokes = [s for s in strokes
                    if len(s) >= 2 and np.hypot(*(s.max(0) - s.min(0))) > 3]
+        # Second annotation pass (round 5): thin/broken photo ink (the gray
+        # gradient band especially) fragments the skeleton into dozens of
+        # stublets; stitching endpoints within 4 px reassembles the
+        # writing-stroke topology before the metrics see it. (GT under this
+        # convention re-baselines the real-ink table — recorded in
+        # models_demo/README.md.)
+        from stroke_derenderer_tpu.ops.strokes import merge_stroke_fragments
+        strokes = merge_stroke_fragments(
+            [(s[:, 0], s[:, 1]) for s in strokes], tol=4.0)
         # ops/strokes.sort_strokes takes (X, Y) pairs (the pipeline's own
         # stroke representation)
-        strokes = sort_strokes([(s[:, 0], s[:, 1]) for s in strokes])
+        strokes = sort_strokes(strokes)
         scale = rgb.shape[0] / args.height
         payload = [[(np.asarray(x) * scale).round(2).tolist(),
                     (np.asarray(y) * scale).round(2).tolist()]
