@@ -67,3 +67,21 @@ def test_split_charges_missed_targets():
     pred = [_line(0, 0, 50, 0)]
     s = stroke_dtw_split(pred, tgt)
     assert s > 10.0  # the missed far target costs its best-DTW penalty
+
+
+def test_f1_tol_forgives_one_pixel_halo():
+    from stroke_derenderer_tpu.eval.metrics import (
+        binarization_f1, binarization_f1_tol,
+    )
+    t = np.zeros((40, 40), bool)
+    t[10:12, 5:35] = True          # 2px-thick target stroke
+    p = np.zeros((40, 40), bool)
+    p[9:13, 5:35] = True           # same stroke, 1px wider each side
+    exact = binarization_f1(p, t)
+    tol = binarization_f1_tol(p, t, tol_px=1)
+    assert exact < 0.8             # convention gap hurts exact F1
+    assert tol > 0.999             # entirely within the 1px tolerance
+
+    p2 = np.zeros((40, 40), bool)  # real error: stroke missing entirely,
+    p2[30:32, 5:35] = True         # spurious one elsewhere
+    assert binarization_f1_tol(p2, t, tol_px=1) < 0.05
