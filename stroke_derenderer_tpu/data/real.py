@@ -206,10 +206,15 @@ def real_glyph_batches(data_dir: str | Path, rng: np.random.Generator,
                        batch_size: int, seq_len: int = 96,
                        n_batches: int | None = None,
                        config: StrokesConfig | None = None,
-                       height: int = 128):
+                       height: int = 128, raw: bool = False):
     """Yield (crops (B,S,S,3), tok_in (B,T), tok_out (B,T)) sampled with
     replacement from the dataset's glyph pool — same teacher-forcing
-    contract as data/synthetic.partitioned_glyph_batches."""
+    contract as data/synthetic.partitioned_glyph_batches.
+
+    ``raw=True`` de-normalizes crops back to uint8 (exact inverse of the
+    partition pipeline's ImageNet normalize, ±1 LSB) so real batches can
+    interleave with raw cached batches under ONE train step that
+    normalizes on device (train.loop --data + --cache mixing)."""
     config = config or StrokesConfig()
     pairs = discover_pairs(data_dir)
     if not pairs:
@@ -240,6 +245,12 @@ def real_glyph_batches(data_dir: str | Path, rng: np.random.Generator,
     key = ("glyphs", str(Path(data_dir).resolve()), seq_len, height,
            json.dumps(config.export_dict(), sort_keys=True))
     crops_all, toks_all = _cached_pool(key, _glyph_pool)
+    if raw:
+        mean = np.asarray(config.mean, np.float32)
+        std = np.asarray(config.std, np.float32)
+        crops_all = np.clip(
+            np.rint((crops_all * std + mean) * 255.0), 0, 255
+        ).astype(np.uint8)
     i = 0
     while n_batches is None or i < n_batches:
         idx = rng.integers(0, len(crops_all), size=batch_size)

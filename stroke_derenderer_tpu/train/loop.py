@@ -341,7 +341,8 @@ def train_captioner(config: StrokesConfig, steps: int, batch_size: int,
                     data_dir: str | Path | None = None,
                     cache_dir: str | Path | None = None,
                     ema_decay: float = 0.0,
-                    ss_ramp_frac: float = 1.0):
+                    ss_ramp_frac: float = 1.0,
+                    real_frac: float = 0.5):
     encoder, decoder, enc_vars, dec_vars, _ = init_strokes_variables(config, seed)
     params = {"encoder": enc_vars["params"], "decoder": dec_vars["params"]}
     if init_from is not None:
@@ -386,7 +387,26 @@ def train_captioner(config: StrokesConfig, steps: int, batch_size: int,
         mean=config.mean, std=config.std))
     from stroke_derenderer_tpu.data.loader import PrefetchLoader
     from stroke_derenderer_tpu.data.synthetic import partitioned_glyph_batches
-    if data_dir is not None:
+    if data_dir is not None and cache_dir is not None:
+        # Mixed finetune: real (or pseudo-labeled) pairs interleaved with
+        # the synthetic glyph cache at real_frac — real-ink self-training
+        # without catastrophic forgetting of the synthetic families. Both
+        # sources ship raw uint8 (real.py raw=True inverts its normalize)
+        # so one on-device-normalizing step serves both.
+        from stroke_derenderer_tpu.data.cache import cached_glyph_batches
+        from stroke_derenderer_tpu.data.real import real_glyph_batches
+
+        def make(w):
+            pick = np.random.default_rng(seed + w + 7)
+            gr = real_glyph_batches(
+                data_dir, np.random.default_rng(seed + w + 101),
+                batch_size, seq_len, config=config, raw=True)
+            gc = cached_glyph_batches(
+                cache_dir, np.random.default_rng(seed + w), batch_size,
+                seq_len, config=config, raw=True)
+            while True:
+                yield next(gr if pick.random() < real_frac else gc)
+    elif data_dir is not None:
         # Real labeled pairs through the inference partition pipeline
         # (data/real.py) — glyph_mode/style are synthetic-only knobs.
         from stroke_derenderer_tpu.data.real import real_glyph_batches
@@ -510,6 +530,10 @@ def main(argv=None):
                     help="final probability of feeding the model's own "
                          "previous prediction instead of the gold token "
                          "(ramped linearly; captioner)")
+    ap.add_argument("--real-frac", type=float, default=0.5,
+                    help="when BOTH --data and --cache are given "
+                         "(mixed real+synthetic finetune), the fraction "
+                         "of batches drawn from --data (default 0.5)")
     ap.add_argument("--cache", default=None, metavar="DIR",
                     help="captioner: train from a pre-generated glyph cache "
                          "(data/cache.py) instead of live synthesis — "
@@ -613,6 +637,7 @@ def main(argv=None):
                         glyph_style=args.glyph_style, mesh=mesh,
                         data_dir=args.data, cache_dir=args.cache,
                         ema_decay=args.ema, ss_ramp_frac=args.ss_ramp_frac,
+                        real_frac=args.real_frac,
                         ckpt_every=args.ckpt_every,
                         ckpt_keep=args.ckpt_keep)
     return 0

@@ -163,3 +163,23 @@ def test_evaluate_real_smoke(dataset):
     assert out["n"] == 2
     assert 0.0 <= out["binarization_f1"] <= 1.0
     assert out["stroke_coverage"] is not None
+
+
+def test_real_glyph_batches_raw_mode(dataset):
+    """raw=True de-normalizes to uint8 such that re-normalizing recovers
+    the float crops within 1 LSB (enables mixing with raw cached batches
+    under one on-device-normalizing train step)."""
+    d, _ = dataset
+    from stroke_derenderer_tpu.config import StrokesConfig
+    cfg = StrokesConfig()
+    crops_f, ti_f, to_f = next(real_glyph_batches(
+        d, np.random.default_rng(3), batch_size=4, seq_len=96, config=cfg))
+    crops_u, ti_u, to_u = next(real_glyph_batches(
+        d, np.random.default_rng(3), batch_size=4, seq_len=96, config=cfg,
+        raw=True))
+    assert crops_u.dtype == np.uint8
+    np.testing.assert_array_equal(ti_f, ti_u)
+    mean = np.asarray(cfg.mean, np.float32)
+    std = np.asarray(cfg.std, np.float32)
+    renorm = (crops_u.astype(np.float32) / 255.0 - mean) / std
+    assert np.abs(renorm - crops_f).max() < (1.0 / 255.0) / min(cfg.std) + 1e-5
