@@ -112,6 +112,8 @@ def _line_tile(h=128, w=384):
     return img
 
 
+@pytest.mark.slow  # ~2.5 min CPU: real demo weights; int8 numerics are
+# covered by the fast unit tests above (VERDICT r4 item 7)
 @pytest.mark.skipif(not (DEMO / "binarizer.msgpack").exists(),
                     reason="models_demo weights not present")
 def test_unet_int8_mask_agreement_demo_weights():
@@ -134,6 +136,7 @@ def test_unet_int8_mask_agreement_demo_weights():
     assert union == 0 or inter / union >= 0.85
 
 
+@pytest.mark.slow  # ~2 min CPU: real demo weights (see above)
 @pytest.mark.skipif(not (DEMO / "strokes_encoder.msgpack").exists(),
                     reason="models_demo weights not present")
 def test_encoder_int8_feature_cosine_demo_weights():
