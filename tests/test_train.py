@@ -297,3 +297,45 @@ def test_captioner_ema_export_and_resume(tmp_path):
         latest_checkpoint(old), template, opt_t,
         extra_templates={"ema": template})
     assert step2 == 7 and extras2["ema"] is None
+
+
+def test_deepen_warm_start_function_preserving(tmp_path, monkeypatch):
+    """--init-partial's stage-aligned deepen mapping: a grown basic-ResNet
+    with zero-init extra blocks computes exactly what the source did
+    (tiny -> tiny-deep here; resnet18 -> resnet34 in the round-5 runs)."""
+    import numpy as np
+
+    from stroke_derenderer_tpu.config import StrokesConfig
+    from stroke_derenderer_tpu.models import encoder as enc_mod
+    from stroke_derenderer_tpu.train.loop import _partial_warm_start
+    from stroke_derenderer_tpu.weights import materialize_model_dir
+    from stroke_derenderer_tpu.weights.store import (
+        build_strokes_models, init_strokes_variables, load_variables,
+    )
+
+    monkeypatch.setitem(enc_mod.ARCHS, "tinydeep",
+                        ("basic", (2, 2, 1, 1), 8, 1))
+    src_cfg = StrokesConfig(encoder_arch="tiny", embed_dim=16,
+                            attention_dim=16, decoder_dim=16,
+                            compute_dtype="float32")
+    d = tmp_path / "src"
+    materialize_model_dir(d, strokes_config=src_cfg)
+
+    enc_s, _ = build_strokes_models(src_cfg)
+    v_s = load_variables(
+        {"params": init_strokes_variables(src_cfg, 0)[2]["params"]},
+        d / "strokes_encoder.msgpack")
+    x = np.random.default_rng(0).normal(size=(2, 224, 224, 3)) \
+        .astype(np.float32)
+    y_src = enc_s.apply({"params": v_s["params"]}, x)
+
+    dst_cfg = StrokesConfig(encoder_arch="tinydeep", embed_dim=16,
+                            attention_dim=16, decoder_dim=16,
+                            compute_dtype="float32")
+    enc_d, _, e_d, d_d, _ = init_strokes_variables(dst_cfg, 1)
+    params = _partial_warm_start(
+        {"encoder": e_d["params"], "decoder": d_d["params"]}, d,
+        dst_encoder_arch="tinydeep")
+    y_dst = enc_d.apply({"params": params["encoder"]}, x)
+    np.testing.assert_allclose(np.asarray(y_src), np.asarray(y_dst),
+                               atol=1e-5)
