@@ -31,6 +31,11 @@ def main() -> int:
     ap.add_argument("--raw", action="store_true",
                     help="export the raw (non-EMA) params even when an EMA "
                          "shadow exists")
+    ap.add_argument("--encoder-arch", default=None,
+                    help="rewrite encoder_arch in the exported "
+                         "configs_strokes.json — REQUIRED when the "
+                         "checkpoint's architecture differs from --base's "
+                         "(e.g. a --init-partial capacity-growth run)")
     args = ap.parse_args()
 
     from flax.serialization import msgpack_restore
@@ -58,6 +63,12 @@ def main() -> int:
                  "configs_strokes.json"):
         if (base / name).exists():
             shutil.copy(base / name, out / name)
+    if args.encoder_arch:
+        import json
+        p = out / "configs_strokes.json"
+        cfg = json.loads(p.read_text()) if p.exists() else {}
+        cfg["encoder_arch"] = args.encoder_arch
+        p.write_text(json.dumps(cfg, indent=1))
     print(f"exported {src} -> {out}")
     return 0
 
