@@ -211,10 +211,12 @@ def real_glyph_batches(data_dir: str | Path, rng: np.random.Generator,
     replacement from the dataset's glyph pool — same teacher-forcing
     contract as data/synthetic.partitioned_glyph_batches.
 
-    ``raw=True`` de-normalizes crops back to uint8 (exact inverse of the
-    partition pipeline's ImageNet normalize, ±1 LSB) so real batches can
-    interleave with raw cached batches under ONE train step that
-    normalizes on device (train.loop --data + --cache mixing)."""
+    ``raw=True`` de-normalizes crops back to (B, S, S) uint8 GRAY (exact
+    inverse of the partition pipeline's ImageNet normalize on channel 0,
+    ±1 LSB; the pipeline's 3 channels are replicas of one gray crop) —
+    the same format data/cache.py ships raw — so real batches interleave
+    with raw cached batches under ONE train step that normalizes on
+    device (train.loop --data + --cache mixing)."""
     config = config or StrokesConfig()
     pairs = discover_pairs(data_dir)
     if not pairs:
@@ -246,11 +248,9 @@ def real_glyph_batches(data_dir: str | Path, rng: np.random.Generator,
            json.dumps(config.export_dict(), sort_keys=True))
     crops_all, toks_all = _cached_pool(key, _glyph_pool)
     if raw:
-        mean = np.asarray(config.mean, np.float32)
-        std = np.asarray(config.std, np.float32)
         crops_all = np.clip(
-            np.rint((crops_all * std + mean) * 255.0), 0, 255
-        ).astype(np.uint8)
+            np.rint((crops_all[..., 0] * config.std[0] + config.mean[0])
+                    * 255.0), 0, 255).astype(np.uint8)
     i = 0
     while n_batches is None or i < n_batches:
         idx = rng.integers(0, len(crops_all), size=batch_size)

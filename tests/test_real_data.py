@@ -178,8 +178,8 @@ def test_real_glyph_batches_raw_mode(dataset):
         d, np.random.default_rng(3), batch_size=4, seq_len=96, config=cfg,
         raw=True))
     assert crops_u.dtype == np.uint8
+    assert crops_u.shape == crops_f.shape[:3]  # (B,S,S) gray, cache format
     np.testing.assert_array_equal(ti_f, ti_u)
-    mean = np.asarray(cfg.mean, np.float32)
-    std = np.asarray(cfg.std, np.float32)
-    renorm = (crops_u.astype(np.float32) / 255.0 - mean) / std
-    assert np.abs(renorm - crops_f).max() < (1.0 / 255.0) / min(cfg.std) + 1e-5
+    renorm = (crops_u.astype(np.float32) / 255.0 - cfg.mean[0]) / cfg.std[0]
+    assert np.abs(renorm - crops_f[..., 0]).max() \
+        < (1.0 / 255.0) / cfg.std[0] + 1e-5
