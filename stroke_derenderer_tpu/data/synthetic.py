@@ -452,17 +452,33 @@ def partitioned_glyph_batches(rng: np.random.Generator, batch_size: int,
 
 def tile_batches(rng: np.random.Generator, batch_size: int, height: int = 128,
                  width: int = 384, n_batches: int | None = None,
-                 style: str = "mixed", ruled: float = 0.0):
+                 style: str = "mixed", ruled: float = 0.0,
+                 narrow: float = 0.0):
     """Yield (tiles f32 [0,1] (B,H,W,3), masks f32 (B,H,W,1)) forever (or
     n_batches times). ``ruled`` is the per-sample probability of rendering
-    on ruled colored paper (distractor lines excluded from the mask)."""
+    on ruled colored paper (distractor lines excluded from the mask).
+
+    ``narrow`` is the per-sample probability of a right-ZERO-PADDED tile:
+    the line renders at a random width in [40, width) and the remainder is
+    black, mask 0 — exactly what inference feeds the model for images
+    narrower than one tile AND for the final tile of every line
+    (ops/tiling pad contract, reference split.py:42-54). A model that
+    never trains on padded tiles reads the black pad as ink context and
+    suppresses real ink on narrow crops — the round-5 zero-stroke failure
+    on 4 small real-eval crops (width <= 103 px after height-norm)."""
     i = 0
     while n_batches is None or i < n_batches:
         imgs, masks = [], []
         for _ in range(batch_size):
-            img, mask = make_line_sample(rng, height, width,
+            w_render = width
+            if narrow > 0.0 and rng.random() < narrow:
+                w_render = int(rng.integers(40, width))
+            img, mask = make_line_sample(rng, height, w_render,
                                          n_strokes=int(rng.integers(3, 8)),
                                          style=style, ruled=ruled)
+            if w_render < width:
+                img = np.pad(img, ((0, 0), (0, width - w_render), (0, 0)))
+                mask = np.pad(mask, ((0, 0), (0, width - w_render)))
             imgs.append(img.astype(np.float32) / 255.0)
             masks.append(mask.astype(np.float32)[:, :, None])
         yield np.stack(imgs), np.stack(masks)

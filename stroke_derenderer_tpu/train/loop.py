@@ -247,6 +247,7 @@ def train_binarizer(config: BinarizerConfig, steps: int, batch_size: int,
                     log_every: int = 25, mesh=None,
                     data_dir: str | Path | None = None,
                     line_style: str = "mixed", ruled: float = 0.0,
+                    narrow: float = 0.0,
                     init_from: str | Path | None = None,
                     ema_decay: float = 0.0):
     model, variables = init_binarizer_variables(config, seed)
@@ -285,7 +286,8 @@ def train_binarizer(config: BinarizerConfig, steps: int, batch_size: int,
     else:
         make = lambda w: tile_batches(np.random.default_rng(seed + w),
                                       batch_size, config.height, config.width,
-                                      style=line_style, ruled=ruled)
+                                      style=line_style, ruled=ruled,
+                                      narrow=narrow)
     data = PrefetchLoader(make, num_workers=2)
 
     t0 = time.time()
@@ -555,6 +557,11 @@ def main(argv=None):
                     choices=["mixed", "smooth", "hand", "letters"],
                     default="mixed",
                     help="stroke family for binarizer line rendering")
+    ap.add_argument("--narrow", type=float, default=0.0, metavar="P",
+                    help="probability a binarizer training tile is a "
+                         "right-zero-padded narrow line (the inference pad "
+                         "contract; fixes ink suppression on narrow "
+                         "images)")
     ap.add_argument("--ruled", type=float, default=0.0, metavar="P",
                     help="probability a binarizer training line renders on "
                          "ruled colored paper (distractor guide lines the "
@@ -623,7 +630,8 @@ def main(argv=None):
                         args.steps, args.batch,
                         args.out, args.lr, seed, mesh=mesh,
                         data_dir=args.data, line_style=args.line_style,
-                        ruled=args.ruled, init_from=args.init_from,
+                        ruled=args.ruled, narrow=args.narrow,
+                        init_from=args.init_from,
                         ema_decay=args.ema, ckpt_every=args.ckpt_every,
                         ckpt_keep=args.ckpt_keep)
     if args.model in ("captioner", "both"):

@@ -235,3 +235,23 @@ def test_stroke_dtw_matches_scalar_oracle(rng):
         assert stroke_dtw(p, t) == pytest.approx(oracle(p, t), rel=1e-10)
     assert stroke_dtw([], []) == 0.0
     assert stroke_dtw(mk(2), []) == float("inf")
+
+
+def test_tile_batches_narrow_padding():
+    """narrow>0 emits right-zero-padded tiles (the inference pad contract):
+    image and mask are exactly zero beyond the rendered width."""
+    import numpy as np
+
+    from stroke_derenderer_tpu.data.synthetic import tile_batches
+
+    rng = np.random.default_rng(5)
+    tiles, masks = next(tile_batches(rng, 8, n_batches=1, narrow=1.0))
+    assert tiles.shape == (8, 128, 384, 3) and masks.shape == (8, 128, 384, 1)
+    found_pad = False
+    for t, m in zip(tiles, masks):
+        cols = np.where((t.sum(axis=(0, 2)) == 0)
+                        & (m.sum(axis=(0, 2)) == 0))[0]
+        if len(cols):
+            found_pad = True
+            assert cols[-1] == 383  # pad reaches the right edge
+    assert found_pad
