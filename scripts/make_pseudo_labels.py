@@ -45,6 +45,15 @@ def main() -> None:
                          "are skipped)")
     ap.add_argument("--out", default="data_pseudo_real")
     ap.add_argument("--redecode", type=float, default=0.9)
+    ap.add_argument("--simplify-eps", type=float, default=1.5,
+                    help="RDP-simplify the emitted polylines, eps in "
+                         "128-height line space (scaled by each photo's "
+                         "height). Redecode emits vertex-dense polylines "
+                         "whose token strings overflow the trainer's "
+                         "384-token horizon (measured: median 317 tokens "
+                         "per glyph raw, 68%% fit@385; eps 1.5 -> median "
+                         "141, 97%% fit) and would teach the decoder an "
+                         "unnaturally dense vertex economy. 0 disables.")
     args = ap.parse_args()
 
     out = Path(args.out)
@@ -73,7 +82,36 @@ def main() -> None:
     for png in stage.glob("*.png"):
         shutil.move(str(png), out / png.name)
     stage.rmdir()
+    if args.simplify_eps > 0:
+        simplify_dir(out, args.simplify_eps)
     print(f"pseudo-labeled {n} photos into {out}")
+
+
+def simplify_dir(out: Path, eps_base: float) -> None:
+    """RDP-simplify every ``*_STROKES.json`` in ``out`` in place, eps
+    scaled to each photo's height (eps is specified in the 128-px line
+    space the pipeline works in)."""
+    import json
+
+    import numpy as np
+    from PIL import Image
+
+    from make_real_eval_set import rdp
+
+    for sj in sorted(out.glob("*_STROKES.json")):
+        png = out / (sj.name[: -len("_STROKES.json")] + ".png")
+        if not png.exists():
+            continue
+        h = Image.open(png).size[1]
+        eps = eps_base * h / 128.0
+        strokes = json.load(open(sj))
+        simp = []
+        for xs, ys in strokes:
+            p = np.asarray(list(zip(xs, ys)), float)
+            q = rdp(p, eps)
+            simp.append([[float(v) for v in q[:, 0]],
+                         [float(v) for v in q[:, 1]]])
+        json.dump(simp, open(sj, "w"))
 
 
 if __name__ == "__main__":
